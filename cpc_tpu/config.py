@@ -1,0 +1,221 @@
+"""Typed experiment configuration.
+
+The reference configures experiments with edit-in-place Python dicts and no CLI
+(SURVEY.md §6.6). Here every experiment is a frozen dataclass; the named presets
+below cover each config in BASELINE.json:6-12.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderConfig:
+    """genc: strided conv encoder over raw waveform (SURVEY.md §A).
+
+    Defaults are the CPC-paper / reference baseline: 5 Conv1d layers,
+    channels 512, kernels (10,8,4,4,4), strides (5,4,2,2,2) => 160x
+    downsampling, one latent per 10 ms at 16 kHz.
+
+    `padding='SAME'` gives exactly T//160 latents for T samples (20480 -> 128),
+    matching SURVEY.md §A's "20480 samples -> 128 latents". 'VALID' mirrors
+    torch's default zero padding (20480 -> 126) and is kept as an option.
+    """
+
+    kind: str = "conv1d"  # 'conv1d' | 'scalogram'
+    channels: Tuple[int, ...] = (512, 512, 512, 512, 512)
+    kernels: Tuple[int, ...] = (10, 8, 4, 4, 4)
+    strides: Tuple[int, ...] = (5, 4, 2, 2, 2)
+    padding: str = "SAME"  # 'SAME' | 'VALID'
+    norm: str = "none"  # 'none' | 'layer' | 'group' | 'batch'
+    activation: str = "relu"
+    d_enc: int = 512  # output latent dim (== channels[-1])
+
+    # scalogram front-end (music/MAESTRO variant, BASELINE.json:8) --------
+    scalogram_n_fft: int = 1024
+    scalogram_hop: int = 160  # keeps the one-latent-per-10ms contract pre-conv
+    scalogram_n_bins: int = 128
+    scalogram_fmin: float = 32.7  # C1; log-spaced (CQT-like) filterbank
+    scalogram_fmax: float = 8000.0
+    scalogram_scale: str = "mel"  # 'mel' | 'log' (CQT-like)
+    # 2-D conv stack over (freq, time) for the scalogram encoder
+    scalogram_channels: Tuple[int, ...] = (32, 64, 128, 256, 512)
+    scalogram_kernels: Tuple[Tuple[int, int], ...] = (
+        (3, 3), (3, 3), (3, 3), (3, 3), (3, 3),
+    )
+    scalogram_freq_strides: Tuple[int, ...] = (2, 2, 2, 2, 2)
+    scalogram_time_strides: Tuple[int, ...] = (1, 1, 1, 1, 1)
+
+    @property
+    def total_downsample(self) -> int:
+        if self.kind == "scalogram":
+            ds = self.scalogram_hop
+            for s in self.scalogram_time_strides:
+                ds *= s
+            return ds
+        ds = 1
+        for s in self.strides:
+            ds *= s
+        return ds
+
+
+@dataclasses.dataclass(frozen=True)
+class ArConfig:
+    """gar: autoregressive context network (SURVEY.md §A).
+
+    Baseline: 1-layer GRU, d_ar=256. Variant (BASELINE.json:9): causal
+    transformer.
+    """
+
+    kind: str = "gru"  # 'gru' | 'transformer'
+    d_ar: int = 256
+    num_layers: int = 1
+    # transformer-only knobs
+    num_heads: int = 8
+    mlp_ratio: int = 4
+    dropout: float = 0.0
+    max_len: int = 2048  # positional table size
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """InfoNCE over bilinear k-step scores with in-batch negatives
+    (SURVEY.md §4.1, §A).
+
+    negatives:
+      'same_step'  — candidates for a (t, k) prediction are the other batch
+                     elements' latents at the same target step t+k (B-way
+                     softmax; the reference's in-batch layout).
+      'all_steps'  — candidates are every latent of every batch element
+                     (B*T-way softmax; CPC-paper style "same sequence + other
+                     sequences" negative pool).
+    cross_replica — all-gather z across the data mesh axis so the negative
+                    pool is the *global* batch (BASELINE.json:10).
+    """
+
+    prediction_steps: int = 12  # K
+    negatives: str = "same_step"  # 'same_step' | 'all_steps'
+    cross_replica: bool = False
+    use_pallas: bool = False  # fused Pallas InfoNCE kernel on the hot path
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    encoder: EncoderConfig = EncoderConfig()
+    ar: ArConfig = ArConfig()
+    loss: LossConfig = LossConfig()
+    dtype: str = "float32"  # compute dtype for activations ('bfloat16' on TPU)
+    param_dtype: str = "float32"
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Snippet dataset contract (SURVEY.md §4.4): a deterministic flat
+    (file, offset) index of fixed-length snippets."""
+
+    corpus_dir: str = ""
+    sample_rate: int = 16_000
+    snippet_samples: int = 20_480  # visible window + prediction horizon
+    snippet_stride: Optional[int] = None  # default: snippet_samples (no overlap)
+    batch_size: int = 8
+    shuffle: bool = True
+    normalize: bool = True  # per-snippet mean/var normalization, on device
+    prefetch: int = 2
+    num_workers: int = 0  # host decode threads (0 = synchronous)
+    transfer_dtype: str = "int16"  # host->device wire dtype; dequant on device
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 2e-4  # Adam, CPC paper
+    beta1: float = 0.9
+    beta2: float = 0.999
+    weight_decay: float = 0.0
+    num_steps: int = 10_000
+    warmup_steps: int = 0
+    seed: int = 0
+    log_every: int = 50
+    eval_every: int = 500
+    checkpoint_every: int = 1000
+    checkpoint_dir: str = "checkpoints"
+    keep_checkpoints: int = 3
+    mesh_shape: Tuple[int, ...] = (-1,)  # data-parallel axis spans all devices
+    mesh_axes: Tuple[str, ...] = ("data",)
+    donate_state: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class CPCConfig:
+    name: str = "baseline"
+    model: ModelConfig = ModelConfig()
+    data: DataConfig = DataConfig()
+    train: TrainConfig = TrainConfig()
+
+
+class presets:
+    """Named presets, one per BASELINE.json config (lines 6-12)."""
+
+    @staticmethod
+    def baseline() -> CPCConfig:
+        """CPC baseline: 5-layer strided conv (160x) + 1-layer GRU, K=12,
+        batch 8 (BASELINE.json:7)."""
+        return CPCConfig(name="baseline")
+
+    @staticmethod
+    def maestro_scalogram() -> CPCConfig:
+        """Scalogram front-end variant on music audio, spectrogram computed on
+        device (BASELINE.json:8)."""
+        return CPCConfig(
+            name="maestro_scalogram",
+            model=ModelConfig(
+                encoder=EncoderConfig(kind="scalogram", scalogram_scale="log"),
+            ),
+        )
+
+    @staticmethod
+    def transformer_gar() -> CPCConfig:
+        """Causal-transformer context network replacing the GRU
+        (BASELINE.json:9)."""
+        return CPCConfig(
+            name="transformer_gar",
+            model=ModelConfig(ar=ArConfig(kind="transformer", d_ar=256,
+                                          num_layers=2, num_heads=8)),
+        )
+
+    @staticmethod
+    def dp_global_negatives() -> CPCConfig:
+        """Large-batch InfoNCE with cross-replica negative sharing over ICI
+        (BASELINE.json:10)."""
+        return CPCConfig(
+            name="dp_global_negatives",
+            model=ModelConfig(
+                loss=LossConfig(cross_replica=True, use_pallas=True),
+                dtype="bfloat16",
+            ),
+            data=DataConfig(batch_size=64),
+        )
+
+    @staticmethod
+    def tpu_fast() -> CPCConfig:
+        """Throughput config for the v5e bench: bf16 compute, large batch,
+        Pallas hot path."""
+        return CPCConfig(
+            name="tpu_fast",
+            model=ModelConfig(
+                loss=LossConfig(use_pallas=True),
+                dtype="bfloat16",
+            ),
+            data=DataConfig(batch_size=64),
+        )
+
+    @staticmethod
+    def by_name(name: str) -> CPCConfig:
+        fn = getattr(presets, name, None)
+        if fn is None or name.startswith("_") or name == "by_name":
+            raise KeyError(
+                f"unknown preset {name!r}; available: "
+                f"{[n for n in dir(presets) if not n.startswith('_') and n != 'by_name']}"
+            )
+        return fn()

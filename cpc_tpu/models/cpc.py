@@ -1,0 +1,83 @@
+"""CPC wrapper model: encoder (genc) + context network (gar) + K prediction
+heads W_k.
+
+Reference capability (SURVEY.md §3 "CPC wrapper model", §A [B:5]): the public
+API is `model(x) -> z, c` plus K bilinear prediction heads; z and c must be
+exposed standalone (feature extraction, SURVEY.md §4.5), not only inside the
+loss.
+
+The K heads are fused into ONE Dense d_ar -> K*d_enc (a single MXU matmul)
+and reshaped to (B, T, K, d_enc) — mathematically identical to K separate
+W_k matrices.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+from flax import struct
+
+from cpc_tpu.config import ModelConfig
+from cpc_tpu.models.encoder import make_encoder
+from cpc_tpu.models.gru import GRU
+from cpc_tpu.models.transformer import CausalTransformer
+
+
+@struct.dataclass
+class CPCOutput:
+    z: jnp.ndarray      # (B, T, d_enc) encoder latents
+    c: jnp.ndarray      # (B, T, d_ar) autoregressive context
+    preds: jnp.ndarray  # (B, T, K, d_enc) k-step predictions W_k c_t
+
+
+def _dtype(name: str):
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+            "float16": jnp.float16}[name]
+
+
+class CPCModel(nn.Module):
+    config: ModelConfig
+
+    def setup(self):
+        dtype = _dtype(self.config.dtype)
+        param_dtype = _dtype(self.config.param_dtype)
+        self.encoder = make_encoder(self.config.encoder, dtype, param_dtype)
+        if self.config.ar.kind == "gru":
+            self.gar = GRU(
+                hidden_size=self.config.ar.d_ar,
+                num_layers=self.config.ar.num_layers,
+                dtype=dtype,
+                param_dtype=param_dtype,
+            )
+        elif self.config.ar.kind == "transformer":
+            self.gar = CausalTransformer(self.config.ar, dtype=dtype,
+                                         param_dtype=param_dtype)
+        else:
+            raise ValueError(f"unknown ar kind {self.config.ar.kind!r}")
+        self.heads = nn.Dense(
+            self.config.loss.prediction_steps * self.config.encoder.d_enc,
+            use_bias=False,  # bilinear W_k c_t, no bias (SURVEY.md §A)
+            dtype=dtype,
+            param_dtype=param_dtype,
+            name="prediction_heads",
+        )
+
+    def __call__(self, x: jnp.ndarray) -> CPCOutput:
+        """x: waveform (B, T_samples) or (B, T_samples, 1)."""
+        z = self.encoder(x)  # (B, T, d_enc)
+        c = self.gar(z)      # (B, T, d_ar)
+        B, T, _ = c.shape
+        K = self.config.loss.prediction_steps
+        preds = self.heads(c).reshape(B, T, K, self.config.encoder.d_enc)
+        return CPCOutput(z=z, c=c, preds=preds)
+
+    def encode(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Standalone latents z (feature-extraction API, SURVEY.md §4.5)."""
+        return self.encoder(x)
+
+    def context(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Standalone context c (feature-extraction API, SURVEY.md §4.5)."""
+        return self.gar(self.encoder(x))

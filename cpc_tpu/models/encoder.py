@@ -1,0 +1,130 @@
+"""genc encoders: strided 1-D conv over waveform, and the 2-D conv scalogram
+variant for music audio.
+
+Reference capability (SURVEY.md §3 "Conv encoder genc", §A): 5x Conv1d,
+channels 512, kernels (10,8,4,4,4), strides (5,4,2,2,2) => 160x downsample,
+ReLU. TPU-first design notes:
+  * layout is (B, T, C) so every conv lowers to an MXU-tiled convolution;
+  * norms default off (parity) but LayerNorm/GroupNorm are offered since
+    BatchNorm's cross-batch stats break pure-functional jit-friendliness;
+  * the fused Pallas conv pyramid (cpc_tpu.ops.conv_pallas) is a drop-in for
+    the XLA path, parity-gated by tests/test_pallas_conv.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from cpc_tpu.config import EncoderConfig
+
+
+def _activation(name: str):
+    return {
+        "relu": nn.relu,
+        "gelu": nn.gelu,
+        "tanh": jnp.tanh,
+    }[name]
+
+
+class ConvEncoder(nn.Module):
+    """Strided Conv1d pyramid: waveform (B, T) or (B, T, 1) -> z (B, T', d_enc)."""
+
+    config: EncoderConfig
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        if x.ndim == 2:
+            x = x[..., None]  # (B, T, 1)
+        x = x.astype(self.dtype)
+        act = _activation(cfg.activation)
+        for i, (ch, k, s) in enumerate(zip(cfg.channels, cfg.kernels, cfg.strides)):
+            x = nn.Conv(
+                features=ch,
+                kernel_size=(k,),
+                strides=(s,),
+                padding=cfg.padding,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"conv{i}",
+            )(x)
+            if cfg.norm == "layer":
+                x = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
+                                 name=f"norm{i}")(x)
+            elif cfg.norm == "group":
+                x = nn.GroupNorm(num_groups=min(32, ch), dtype=self.dtype,
+                                 param_dtype=self.param_dtype, name=f"norm{i}")(x)
+            x = act(x)
+        return x
+
+
+class ScalogramEncoder(nn.Module):
+    """Music-audio variant (SURVEY.md §3 "Scalogram encoder", BASELINE.json:8).
+
+    Computes a log-magnitude mel/CQT-like scalogram ON DEVICE (rFFT + filterbank
+    matmul — no host DSP), then a strided 2-D conv stack over (time, freq)
+    collapsing the frequency axis into d_enc channels.
+
+    Input waveform (B, T) -> scalogram (B, frames, n_bins) -> z (B, T', d_enc).
+    """
+
+    config: EncoderConfig
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from cpc_tpu.ops.scalogram import scalogram  # on-device DSP
+
+        cfg = self.config
+        if x.ndim == 3:
+            x = x[..., 0]
+        s = scalogram(
+            x.astype(jnp.float32),  # DSP in fp32 for numerical sanity
+            n_fft=cfg.scalogram_n_fft,
+            hop=cfg.scalogram_hop,
+            n_bins=cfg.scalogram_n_bins,
+            fmin=cfg.scalogram_fmin,
+            fmax=cfg.scalogram_fmax,
+            scale=cfg.scalogram_scale,
+            sample_rate=16_000,
+        )  # (B, frames, n_bins)
+        h = s[..., None].astype(self.dtype)  # (B, time, freq, 1) as NHWC
+        act = _activation(cfg.activation)
+        for i, (ch, k, fs, ts) in enumerate(
+            zip(cfg.scalogram_channels, cfg.scalogram_kernels,
+                cfg.scalogram_freq_strides, cfg.scalogram_time_strides)
+        ):
+            h = nn.Conv(
+                features=ch,
+                kernel_size=k,
+                strides=(ts, fs),  # (time, freq)
+                padding="SAME",
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"conv2d_{i}",
+            )(h)
+            x_norm = cfg.norm
+            if x_norm == "layer":
+                h = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
+                                 name=f"norm{i}")(h)
+            h = act(h)
+        # collapse remaining frequency axis -> (B, time, freq'*ch) -> d_enc
+        b, t, f, c = h.shape
+        h = h.reshape(b, t, f * c)
+        z = nn.Dense(cfg.d_enc, dtype=self.dtype, param_dtype=self.param_dtype,
+                     name="proj")(h)
+        return z
+
+
+def make_encoder(config: EncoderConfig, dtype, param_dtype) -> nn.Module:
+    if config.kind == "conv1d":
+        return ConvEncoder(config, dtype=dtype, param_dtype=param_dtype)
+    if config.kind == "scalogram":
+        return ScalogramEncoder(config, dtype=dtype, param_dtype=param_dtype)
+    raise ValueError(f"unknown encoder kind {config.kind!r}")

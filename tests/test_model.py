@@ -1,0 +1,78 @@
+"""CPCModel API tests: the public (z, c, preds) contract (SURVEY.md §1 [B:5])
+for every preset model family."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cpc_tpu.config import ArConfig, EncoderConfig, LossConfig, ModelConfig
+from cpc_tpu.models.cpc import CPCModel
+
+
+def _tiny_model(**kw):
+    enc = EncoderConfig(channels=(32, 32), kernels=(10, 8), strides=(5, 4),
+                        d_enc=32)
+    defaults = dict(encoder=enc, ar=ArConfig(d_ar=16),
+                    loss=LossConfig(prediction_steps=3))
+    defaults.update(kw)
+    return ModelConfig(**defaults)
+
+
+def test_output_contract_gru():
+    cfg = _tiny_model()
+    model = CPCModel(cfg)
+    x = jnp.zeros((2, 800))
+    params = model.init(jax.random.key(0), x)
+    out = model.apply(params, x)
+    T = 800 // 20
+    assert out.z.shape == (2, T, 32)
+    assert out.c.shape == (2, T, 16)
+    assert out.preds.shape == (2, T, 3, 32)
+
+
+def test_output_contract_transformer():
+    cfg = _tiny_model(ar=ArConfig(kind="transformer", d_ar=16, num_layers=1,
+                                  num_heads=2))
+    model = CPCModel(cfg)
+    x = jnp.zeros((2, 800))
+    params = model.init(jax.random.key(0), x)
+    out = model.apply(params, x)
+    assert out.c.shape == (2, 40, 16)
+
+
+def test_transformer_is_causal():
+    import numpy as np
+    cfg = _tiny_model(ar=ArConfig(kind="transformer", d_ar=16, num_layers=2,
+                                  num_heads=2))
+    model = CPCModel(cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 1600)), dtype=jnp.float32)
+    params = model.init(jax.random.key(0), x)
+    c1 = model.apply(params, x).c
+    # perturb the last quarter of the waveform; early context must not change
+    x2 = x.at[:, 1200:].add(1.0)
+    c2 = model.apply(params, x2).c
+    # latent steps: 1600/20 = 80; samples 1200+ affect latents ~>=56 (SAME
+    # padding smears by the receptive field ~ +/-2 latents) — check <= 50.
+    np.testing.assert_allclose(np.asarray(c1[:, :50]), np.asarray(c2[:, :50]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_standalone_feature_extraction():
+    cfg = _tiny_model()
+    model = CPCModel(cfg)
+    x = jnp.zeros((1, 400))
+    params = model.init(jax.random.key(0), x)
+    z = model.apply(params, x, method=CPCModel.encode)
+    c = model.apply(params, x, method=CPCModel.context)
+    assert z.shape == (1, 20, 32)
+    assert c.shape == (1, 20, 16)
+
+
+def test_jit_forward():
+    cfg = _tiny_model()
+    model = CPCModel(cfg)
+    x = jnp.zeros((2, 800))
+    params = model.init(jax.random.key(0), x)
+    out = jax.jit(lambda p, a: model.apply(p, a))(params, x)
+    assert out.preds.shape == (2, 40, 3, 32)

@@ -92,12 +92,17 @@ class LossConfig:
                      (B*T-way softmax; CPC-paper style "same sequence + other
                      sequences" negative pool).
     cross_replica — all-gather z across the data mesh axis so the negative
-                    pool is the *global* batch (BASELINE.json:10).
+                    pool is the *global* batch (BASELINE.json:10). Defaults
+                    True: under data parallelism this preserves the
+                    single-device in-batch semantics (the reference's
+                    whole-batch negative pool); False restricts negatives to
+                    the replica-local batch (cheaper, different objective —
+                    SURVEY.md §8.4 parity note).
     """
 
     prediction_steps: int = 12  # K
     negatives: str = "same_step"  # 'same_step' | 'all_steps'
-    cross_replica: bool = False
+    cross_replica: bool = True
     use_pallas: bool = False  # fused Pallas InfoNCE kernel on the hot path
 
 

@@ -1,0 +1,166 @@
+"""Snippet datasets: the deterministic flat (file, offset) index contract
+(SURVEY.md §4.4) — it defines what an "epoch" and a "batch" mean for parity.
+
+`SnippetDataset.__init__` walks the corpus dir, computes per-file snippet
+counts from durations, and builds a flat index; `__getitem__(i)` returns the
+i-th fixed-length waveform snippet as float32 numpy. Decode is host-side
+(numpy WAV; native C++ FLAC via cpc_tpu.data.flac when built); resample /
+normalization happen ON DEVICE (cpc_tpu.ops.dsp), not here.
+"""
+
+from __future__ import annotations
+
+import bisect
+import os
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from cpc_tpu.data.wavio import read_wav
+
+_DECODERS: Dict[str, Callable[[str], Tuple[np.ndarray, int]]] = {
+    ".wav": read_wav,
+}
+
+
+def register_decoder(ext: str, fn: Callable[[str], Tuple[np.ndarray, int]]):
+    _DECODERS[ext.lower()] = fn
+
+
+def _try_register_flac():
+    try:
+        from cpc_tpu.data.flac import read_flac  # needs the native lib
+        _DECODERS.setdefault(".flac", read_flac)
+    except Exception:
+        pass
+
+
+def list_audio_files(root: str, exts: Optional[Sequence[str]] = None) -> List[str]:
+    _try_register_flac()
+    exts = tuple(e.lower() for e in (exts or _DECODERS.keys()))
+    out = []
+    for dirpath, _, files in sorted(os.walk(root)):
+        for fn in sorted(files):
+            if os.path.splitext(fn)[1].lower() in exts:
+                out.append(os.path.join(dirpath, fn))
+    return out
+
+
+def decode(path: str) -> Tuple[np.ndarray, int]:
+    _try_register_flac()
+    ext = os.path.splitext(path)[1].lower()
+    if ext not in _DECODERS:
+        raise ValueError(f"no decoder for {ext!r} ({path}); "
+                         f"have {sorted(_DECODERS)}")
+    return _DECODERS[ext](path)
+
+
+class _DecodedCache:
+    """Tiny LRU of decoded mono float32 waveforms (host RAM)."""
+
+    def __init__(self, max_items: int = 256):
+        self.max_items = max_items
+        self._store: Dict[str, np.ndarray] = {}
+
+    def get(self, path: str) -> np.ndarray:
+        x = self._store.pop(path, None)
+        if x is None:
+            audio, _ = decode(path)
+            x = audio.mean(axis=1) if audio.shape[1] > 1 else audio[:, 0]
+            x = np.ascontiguousarray(x, dtype=np.float32)
+        self._store[path] = x
+        while len(self._store) > self.max_items:
+            self._store.pop(next(iter(self._store)))
+        return x
+
+
+class SnippetDataset:
+    """Flat snippet index over a corpus directory.
+
+    Mirrors the reference's AudioDataset contract (SURVEY.md §3, §4.4):
+    fixed snippet length (visible window + prediction horizon), per-file
+    snippet count 1 + (len - snippet) // stride, deterministic ordering.
+    """
+
+    def __init__(
+        self,
+        corpus_dir: str,
+        snippet_samples: int = 20_480,
+        snippet_stride: Optional[int] = None,
+        sample_rate: int = 16_000,
+        cache_items: int = 256,
+    ):
+        self.corpus_dir = corpus_dir
+        self.snippet_samples = snippet_samples
+        self.snippet_stride = snippet_stride or snippet_samples
+        self.sample_rate = sample_rate
+        self._cache = _DecodedCache(cache_items)
+
+        self.files: List[str] = []
+        self._file_snippets: List[int] = []
+        for path in list_audio_files(corpus_dir):
+            n = self._num_samples(path)
+            cnt = 0 if n < snippet_samples else (
+                1 + (n - snippet_samples) // self.snippet_stride)
+            if cnt > 0:
+                self.files.append(path)
+                self._file_snippets.append(cnt)
+        if not self.files:
+            raise ValueError(f"no usable audio under {corpus_dir!r} "
+                             f"(need >= {snippet_samples} samples per file)")
+        self._cum = np.cumsum([0] + self._file_snippets)
+
+    def _num_samples(self, path: str) -> int:
+        # Full decode for the count; corpora here are WAV/FLAC whose decode is
+        # cheap relative to training, and the cache keeps it warm.
+        return len(self._cache.get(path))
+
+    def __len__(self) -> int:
+        return int(self._cum[-1])
+
+    def locate(self, idx: int) -> Tuple[str, int]:
+        """index -> (file path, sample offset)."""
+        if not 0 <= idx < len(self):
+            raise IndexError(idx)
+        f = bisect.bisect_right(self._cum, idx) - 1
+        return self.files[f], (idx - int(self._cum[f])) * self.snippet_stride
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        path, off = self.locate(idx)
+        x = self._cache.get(path)
+        return x[off:off + self.snippet_samples]
+
+    def speaker_of(self, idx: int) -> str:
+        """Speaker id from the LibriSpeech-style path layout
+        <root>/<speaker>/<chapter>/<utt> (used by the speaker probe)."""
+        path, _ = self.locate(idx)
+        rel = os.path.relpath(path, self.corpus_dir)
+        return rel.split(os.sep)[0]
+
+
+class ProbeDataset(SnippetDataset):
+    """SnippetDataset that also yields labels for the downstream probes
+    (SURVEY.md §4.3, BASELINE.json:11).
+
+    Speaker labels come from the directory layout; phone labels from sibling
+    `<utt>.phones.npy` per-sample label files when present (the synthetic
+    generator writes them; for real corpora, point at a forced-alignment dump
+    in the same format).
+    """
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        speakers = sorted({self.speaker_of(self._cum[i])
+                           for i in range(len(self.files))})
+        self.speaker_to_id = {s: i for i, s in enumerate(speakers)}
+        self.num_speakers = len(speakers)
+
+    def item_with_labels(self, idx: int):
+        path, off = self.locate(idx)
+        x = self._cache.get(path)[off:off + self.snippet_samples]
+        spk = self.speaker_to_id[self.speaker_of(idx)]
+        phones = None
+        lab_path = os.path.splitext(path)[0] + ".phones.npy"
+        if os.path.exists(lab_path):
+            phones = np.load(lab_path)[off:off + self.snippet_samples]
+        return x, spk, phones

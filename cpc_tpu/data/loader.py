@@ -1,0 +1,140 @@
+"""Host batching + prefetch: the TPU-native replacement for
+torch.utils.data.DataLoader worker processes (SURVEY.md §2 N0, §4.1).
+
+Design: a background thread assembles int16 batches (half the host->device
+bytes of fp32; dequant runs on device, cpc_tpu.ops.dsp) while the device is
+busy with the previous step; `device_prepare` is the jit-side half. Epoch
+shuffling is deterministic in (seed, epoch) so runs are reproducible and
+resume-exact (SURVEY.md §6.4: the iterator state in a checkpoint is just
+(seed, epoch, position)).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cpc_tpu.data.dataset import SnippetDataset
+from cpc_tpu.ops.dsp import prepare_waveform
+
+
+def device_prepare(batch: jnp.ndarray, normalize: bool = True) -> jnp.ndarray:
+    """On-device half of the pipeline: int16 -> float32, normalize. Call this
+    INSIDE the jitted train step so it fuses with the encoder."""
+    return prepare_waveform(batch, normalize=normalize)
+
+
+class Batcher:
+    """Iterates (epoch, step, batch int16 (B, S)) with background prefetch.
+
+    State is (seed, epoch, pos); `state()`/`restore()` give exact-resume
+    semantics for checkpointing.
+    """
+
+    def __init__(
+        self,
+        dataset: SnippetDataset,
+        batch_size: int,
+        *,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_remainder: bool = True,
+        prefetch: int = 2,
+        transfer_dtype: str = "int16",
+        start_epoch: int = 0,
+        start_pos: int = 0,
+    ):
+        if len(dataset) < batch_size:
+            raise ValueError(
+                f"dataset has {len(dataset)} snippets < batch_size {batch_size}")
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_remainder = drop_remainder
+        self.prefetch = prefetch
+        self.transfer_dtype = transfer_dtype
+        self.epoch = start_epoch
+        self.pos = start_pos  # batch index within the current epoch
+
+    # -- checkpointable iterator state (SURVEY.md §6.4) --------------------
+    def state(self) -> dict:
+        return {"seed": self.seed, "epoch": self.epoch, "pos": self.pos}
+
+    def restore(self, state: dict) -> None:
+        self.seed = int(state["seed"])
+        self.epoch = int(state["epoch"])
+        self.pos = int(state["pos"])
+
+    def _epoch_order(self, epoch: int) -> np.ndarray:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng((self.seed, epoch)).shuffle(order)
+        return order
+
+    def batches_per_epoch(self) -> int:
+        n = len(self.dataset) // self.batch_size
+        if not self.drop_remainder and len(self.dataset) % self.batch_size:
+            n += 1
+        return n
+
+    def _assemble(self, order: np.ndarray, b: int) -> np.ndarray:
+        idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+        snips = np.stack([self.dataset[int(i)] for i in idxs])
+        if self.transfer_dtype == "int16":
+            return np.clip(np.round(snips * 32768.0), -32768, 32767).astype(
+                np.int16)
+        return snips.astype(np.float32)
+
+    def __iter__(self) -> Iterator[tuple]:
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            epoch, pos = self.epoch, self.pos
+            try:
+                while not stop.is_set():
+                    order = self._epoch_order(epoch)
+                    n_batches = self.batches_per_epoch()
+                    while pos < n_batches and not stop.is_set():
+                        q.put((epoch, pos, self._assemble(order, pos)))
+                        pos += 1
+                    epoch, pos = epoch + 1, 0
+            except Exception as e:  # surface decode errors to the consumer
+                q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if isinstance(item, Exception):
+                    raise item
+                epoch, pos, batch = item
+                # advance public state so .state() after a yield resumes
+                # at the *next* batch
+                self.epoch, self.pos = epoch, pos + 1
+                if self.pos >= self.batches_per_epoch():
+                    self.epoch, self.pos = epoch + 1, 0
+                yield epoch, pos, batch
+        finally:
+            stop.set()
+            # drain so the producer can exit its q.put
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+
+
+def to_device(batch: np.ndarray, sharding=None) -> jnp.ndarray:
+    """Host->device transfer, optionally with a NamedSharding so each replica
+    receives only its batch shard."""
+    if sharding is not None:
+        return jax.device_put(batch, sharding)
+    return jnp.asarray(batch)

@@ -72,6 +72,7 @@ def infonce_loss_and_metrics(
     *,
     negatives: str = "same_step",
     axis_name: Optional[str] = None,
+    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """InfoNCE loss + per-k accuracy.
 
@@ -80,6 +81,8 @@ def infonce_loss_and_metrics(
     negatives: 'same_step' | 'all_steps'.
     axis_name: if set, z is all-gathered over this mesh axis so negatives are
         the global batch (cross-replica negative sharing, BASELINE.json:10).
+    use_pallas: route the score+softmax-CE block through the fused Pallas
+        kernel (cpc_tpu.ops.infonce_pallas) instead of the jnp path.
 
     Returns (loss, {"loss": ..., "acc": (K,), "acc_mean": ...}).
     """
@@ -97,6 +100,10 @@ def infonce_loss_and_metrics(
     else:
         z_pool = zf
         shift = 0
+
+    if use_pallas:
+        from cpc_tpu.ops.infonce_pallas import fused_infonce
+        return fused_infonce(preds_v, z_pool, negatives=negatives, shift=shift)
 
     if negatives == "same_step":
         tgt = stacked_targets(z_pool, K)  # (C, Tp, K, D), C = pool batch

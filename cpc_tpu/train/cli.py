@@ -1,0 +1,81 @@
+"""CLI entry point: `python -m cpc_tpu.train --config=baseline ...`
+(SURVEY.md §6.6 — the reference has edit-in-place config dicts and no CLI;
+every BASELINE config ships here as a named preset).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+from cpc_tpu.config import presets
+from cpc_tpu.data.dataset import SnippetDataset
+from cpc_tpu.data.synthetic import generate_synthetic_corpus
+from cpc_tpu.train.trainer import Trainer
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="cpc_tpu.train",
+        description="TPU-native CPC audio pretraining",
+    )
+    p.add_argument("--config", default="baseline",
+                   help="preset name (baseline, maestro_scalogram, "
+                        "transformer_gar, dp_global_negatives, tpu_fast)")
+    p.add_argument("--data", default="synthetic",
+                   help="'synthetic', 'synthetic-music', or a corpus directory")
+    p.add_argument("--val-data", default=None,
+                   help="validation corpus directory (defaults to --data)")
+    p.add_argument("--workdir", default="runs/default")
+    p.add_argument("--steps", type=int, default=None,
+                   help="override train.num_steps")
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from latest checkpoint in workdir")
+    p.add_argument("--seed", type=int, default=None)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+    cfg = presets.by_name(args.config)
+    if args.steps is not None:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, num_steps=args.steps))
+    if args.seed is not None:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, seed=args.seed))
+    if args.batch_size is not None:
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, batch_size=args.batch_size))
+
+    if args.data in ("synthetic", "synthetic-music"):
+        corpus = os.path.join(args.workdir, "synthetic_corpus")
+        if not os.path.isdir(corpus):
+            style = "music" if args.data.endswith("music") else "speech"
+            generate_synthetic_corpus(
+                corpus, style=style,
+                num_speakers=max(8, cfg.data.batch_size),
+                files_per_speaker=3, seconds_per_file=4.0,
+                seed=cfg.train.seed)
+    else:
+        corpus = args.data
+    val_corpus = args.val_data or corpus
+
+    train_ds = SnippetDataset(corpus, cfg.data.snippet_samples,
+                              cfg.data.snippet_stride,
+                              cfg.data.sample_rate)
+    val_ds = SnippetDataset(val_corpus, cfg.data.snippet_samples,
+                            cfg.data.snippet_samples,
+                            cfg.data.sample_rate)
+
+    trainer = Trainer(cfg, train_ds, val_ds, workdir=args.workdir)
+    if args.resume:
+        resumed = trainer.maybe_resume()
+        print(f"resume: {'restored step ' + str(trainer.step) if resumed else 'no checkpoint found'}")
+    print(f"config={cfg.name} devices={trainer.mesh.size} "
+          f"batch={cfg.data.batch_size} steps={cfg.train.num_steps}")
+    trainer.train()
+    trainer.close()
+    return 0

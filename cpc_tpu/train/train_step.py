@@ -1,0 +1,101 @@
+"""The jitted training/eval step (SURVEY.md §2 N4, §4.1).
+
+Everything between the device boundary and the optimizer update is ONE
+compiled function: int16 dequant + normalization (cpc_tpu.ops.dsp), encoder,
+gar, prediction heads, InfoNCE, backprop, Adam. The reference spreads this
+over DataLoader workers + eager torch calls (SURVEY.md §4.1); fusing it is
+where most of the TPU throughput comes from.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from cpc_tpu.config import CPCConfig
+from cpc_tpu.data.loader import device_prepare
+from cpc_tpu.models.cpc import CPCModel
+from cpc_tpu.ops.infonce import infonce_loss_and_metrics
+from cpc_tpu.parallel.dp import dp_eval_step, dp_train_step
+
+
+class StepFns(NamedTuple):
+    train_step: Callable  # (params, opt_state, batch) -> (params, opt_state, metrics)
+    eval_step: Callable   # (params, batch) -> metrics
+    optimizer: optax.GradientTransformation
+    loss_fn: Callable
+
+
+def make_optimizer(cfg: CPCConfig) -> optax.GradientTransformation:
+    t = cfg.train
+    if t.warmup_steps > 0:
+        lr = optax.linear_schedule(0.0, t.learning_rate, t.warmup_steps)
+    else:
+        lr = t.learning_rate
+    if t.weight_decay > 0:
+        return optax.adamw(lr, b1=t.beta1, b2=t.beta2,
+                           weight_decay=t.weight_decay)
+    return optax.adam(lr, b1=t.beta1, b2=t.beta2)
+
+
+def make_step_fns(cfg: CPCConfig, model: CPCModel, mesh=None) -> StepFns:
+    """Builds jitted train/eval steps. With a mesh of >1 devices, steps are
+    shard_map-ed DP (batch sharded, grads psum-ed, negatives per
+    cfg.model.loss.cross_replica)."""
+    opt = make_optimizer(cfg)
+    loss_cfg = cfg.model.loss
+    normalize = cfg.data.normalize
+
+    def loss_fn(params, batch, axis_name=None):
+        x = device_prepare(batch, normalize=normalize)
+        out = model.apply(params, x)
+        gather_axis = axis_name if (axis_name and loss_cfg.cross_replica) else None
+        loss, metrics = infonce_loss_and_metrics(
+            out.preds, out.z,
+            negatives=loss_cfg.negatives,
+            axis_name=gather_axis,
+            use_pallas=loss_cfg.use_pallas,
+        )
+        return loss, metrics
+
+    def train_step(params, opt_state, batch, axis_name=None):
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch, axis_name)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            metrics = jax.lax.pmean(metrics, axis_name)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return params, opt_state, metrics
+
+    def eval_step(params, batch, axis_name=None):
+        _, metrics = loss_fn(params, batch, axis_name)
+        if axis_name is not None:
+            metrics = jax.lax.pmean(metrics, axis_name)
+        return metrics
+
+    if mesh is not None and mesh.size > 1:
+        train = dp_train_step(train_step, mesh, axis=mesh.axis_names[0])
+        evals = dp_eval_step(eval_step, mesh, axis=mesh.axis_names[0])
+    else:
+        train = jax.jit(functools.partial(train_step, axis_name=None),
+                        donate_argnums=(0, 1))
+        evals = jax.jit(functools.partial(eval_step, axis_name=None))
+    return StepFns(train_step=train, eval_step=evals, optimizer=opt,
+                   loss_fn=loss_fn)
+
+
+def init_state(cfg: CPCConfig, model: CPCModel, optimizer,
+               rng: Optional[jax.Array] = None) -> Tuple:
+    """(params, opt_state) with the model traced at the configured shapes."""
+    if rng is None:
+        rng = jax.random.key(cfg.train.seed)
+    x = jnp.zeros((cfg.data.batch_size, cfg.data.snippet_samples), jnp.float32)
+    params = model.init(rng, x)
+    return params, optimizer.init(params)

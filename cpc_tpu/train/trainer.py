@@ -1,0 +1,141 @@
+"""Trainer: the outer loop around the jitted step (SURVEY.md §2 N4, §4.1).
+
+Replaces the reference's ContrastiveEstimationTrainer.train/validate
+(SURVEY.md §3 "Trainer"): epoch-agnostic step loop, periodic validation,
+async orbax snapshots, metric logging, exact resume. The device never waits
+on the host: batches are assembled by the Batcher's prefetch thread while the
+previous step runs.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from cpc_tpu.config import CPCConfig
+from cpc_tpu.data.dataset import SnippetDataset
+from cpc_tpu.data.loader import Batcher, to_device
+from cpc_tpu.models.cpc import CPCModel
+from cpc_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+from cpc_tpu.train.checkpoint import CheckpointManager
+from cpc_tpu.train.metrics import MetricWriter
+from cpc_tpu.train.train_step import init_state, make_step_fns
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: CPCConfig,
+        train_dataset: SnippetDataset,
+        val_dataset: Optional[SnippetDataset] = None,
+        workdir: Optional[str] = None,
+        mesh=None,
+    ):
+        self.cfg = cfg
+        self.model = CPCModel(cfg.model)
+        self.mesh = mesh if mesh is not None else make_mesh(
+            cfg.train.mesh_shape, cfg.train.mesh_axes)
+        if cfg.data.batch_size % self.mesh.size != 0:
+            raise ValueError(
+                f"batch_size {cfg.data.batch_size} is not divisible by the "
+                f"{self.mesh.size}-device mesh; pass a compatible mesh= or "
+                f"adjust data.batch_size")
+        self.steps = make_step_fns(cfg, self.model, self.mesh)
+        self.params, self.opt_state = init_state(cfg, self.model,
+                                                 self.steps.optimizer)
+        self.batcher = Batcher(
+            train_dataset, cfg.data.batch_size, shuffle=cfg.data.shuffle,
+            seed=cfg.train.seed, prefetch=cfg.data.prefetch,
+            transfer_dtype=cfg.data.transfer_dtype,
+        )
+        self.val_batcher = None
+        if val_dataset is not None:
+            self.val_batcher = Batcher(
+                val_dataset, cfg.data.batch_size, shuffle=False,
+                seed=0, transfer_dtype=cfg.data.transfer_dtype)
+        self.writer = MetricWriter(workdir)
+        self.ckpt = (CheckpointManager(f"{workdir}/{cfg.train.checkpoint_dir}",
+                                       cfg.train.keep_checkpoints)
+                     if workdir else None)
+        self.step = 0
+        self._sharding = (batch_sharding(self.mesh)
+                          if self.mesh.size > 1 else None)
+
+    def maybe_resume(self) -> bool:
+        """Restore latest checkpoint if present; returns True if resumed."""
+        if self.ckpt is None:
+            return False
+        got = self.ckpt.restore_latest(self.params, self.opt_state)
+        if got is None:
+            return False
+        self.params, self.opt_state, self.step, batcher_state = got
+        if self.mesh.size > 1:
+            # orbax restores onto the default device; re-replicate over the mesh
+            rep = replicated(self.mesh)
+            self.params = jax.device_put(self.params, rep)
+            self.opt_state = jax.device_put(self.opt_state, rep)
+        self.batcher.restore(batcher_state)
+        return True
+
+    def train(self, num_steps: Optional[int] = None) -> Dict:
+        cfg = self.cfg.train
+        total = num_steps if num_steps is not None else cfg.num_steps
+        it = iter(self.batcher)
+        last_metrics: Dict = {}
+        t_log = time.time()
+        steps_since_log = 0
+        audio_sec_per_batch = (
+            self.cfg.data.batch_size * self.cfg.data.snippet_samples
+            / self.cfg.data.sample_rate)
+        while self.step < total:
+            _, _, host_batch = next(it)
+            batch = to_device(host_batch, self._sharding)
+            self.params, self.opt_state, metrics = self.steps.train_step(
+                self.params, self.opt_state, batch)
+            self.step += 1
+            steps_since_log += 1
+            if self.step % cfg.log_every == 0 or self.step == total:
+                jax.block_until_ready(metrics["loss"])
+                dt = time.time() - t_log
+                thr = steps_since_log * audio_sec_per_batch / max(dt, 1e-9)
+                last_metrics = {k: np.asarray(v) for k, v in metrics.items()}
+                last_metrics["audio_sec_per_sec"] = thr
+                last_metrics["steps_per_sec"] = steps_since_log / max(dt, 1e-9)
+                self.writer.write(self.step, last_metrics, "train")
+                t_log = time.time()
+                steps_since_log = 0
+            if self.val_batcher is not None and self.step % cfg.eval_every == 0:
+                self.writer.write(self.step, self.validate(), "val")
+            if self.ckpt is not None and (
+                    self.step % cfg.checkpoint_every == 0 or self.step == total):
+                self.ckpt.save(self.step, self.params, self.opt_state,
+                               self.batcher.state())
+        if self.ckpt is not None:
+            self.ckpt.wait()
+        return last_metrics
+
+    def validate(self, max_batches: int = 50) -> Dict:
+        """Mean InfoNCE loss + per-k accuracy over the validation set
+        (SURVEY.md §4.2)."""
+        assert self.val_batcher is not None
+        agg: Dict = {}
+        n = 0
+        for i, (_, _, host_batch) in enumerate(iter(self.val_batcher)):
+            if i >= max_batches or (i + 1) > self.val_batcher.batches_per_epoch():
+                break
+            batch = to_device(host_batch, self._sharding)
+            m = self.steps.eval_step(self.params, batch)
+            for k, v in m.items():
+                agg[k] = agg.get(k, 0.0) + np.asarray(v)
+            n += 1
+        # reset val iterator state for the next validate() call
+        self.val_batcher.epoch, self.val_batcher.pos = 0, 0
+        return {k: v / max(n, 1) for k, v in agg.items()}
+
+    def close(self):
+        self.writer.close()
+        if self.ckpt is not None:
+            self.ckpt.close()

@@ -1,0 +1,113 @@
+"""Data layer tests: WAV round-trip, snippet index arithmetic (SURVEY.md
+§4.4 contract), loader determinism and resume."""
+
+import numpy as np
+import pytest
+
+from cpc_tpu.data.dataset import ProbeDataset, SnippetDataset
+from cpc_tpu.data.loader import Batcher
+from cpc_tpu.data.synthetic import generate_synthetic_corpus
+from cpc_tpu.data.wavio import read_wav, write_wav
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    generate_synthetic_corpus(str(root), num_speakers=3, files_per_speaker=2,
+                              seconds_per_file=2.0, seed=1)
+    return str(root)
+
+
+def test_wav_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    x = np.clip(rng.standard_normal(5000) * 0.3, -0.99, 0.99).astype(np.float32)
+    p = str(tmp_path / "t.wav")
+    write_wav(p, x, 16000)
+    y, sr = read_wav(p)
+    assert sr == 16000
+    assert y.shape == (5000, 1)
+    # write scales by 32767, read by 32768: one-LSB quantization + scale skew
+    np.testing.assert_allclose(y[:, 0], x, atol=2.0 / 32768)
+
+
+def test_wav_stereo_and_24bit(tmp_path):
+    import struct
+    # hand-build a 24-bit stereo file
+    sr, n = 8000, 100
+    vals = np.linspace(-0.5, 0.5, n)
+    pcm24 = np.round(vals * (1 << 23)).astype(np.int32)
+    frames = b""
+    for v in pcm24:
+        b3 = int(v) & 0xFFFFFF
+        frames += struct.pack("<I", b3)[:3] * 2  # same value both channels
+    with open(tmp_path / "s24.wav", "wb") as f:
+        data = frames
+        f.write(b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, sr, sr * 6, 6, 24))
+        f.write(b"data" + struct.pack("<I", len(data)) + data)
+    y, sr2 = read_wav(str(tmp_path / "s24.wav"))
+    assert sr2 == sr and y.shape == (n, 2)
+    np.testing.assert_allclose(y[:, 0], vals, atol=2e-7)
+
+
+def test_snippet_index_arithmetic(corpus):
+    ds = SnippetDataset(corpus, snippet_samples=16000, snippet_stride=8000)
+    # each file is 2 s @16k = 32000 samples -> 1 + (32000-16000)//8000 = 3
+    assert len(ds) == 6 * 3
+    x = ds[0]
+    assert x.shape == (16000,) and x.dtype == np.float32
+    # adjacent snippets within a file overlap by stride
+    a, b = ds[0], ds[1]
+    np.testing.assert_array_equal(a[8000:], b[:8000])
+
+
+def test_snippet_index_determinism(corpus):
+    d1 = SnippetDataset(corpus, snippet_samples=20480)
+    d2 = SnippetDataset(corpus, snippet_samples=20480)
+    assert d1.files == d2.files
+    np.testing.assert_array_equal(d1[3], d2[3])
+
+
+def test_probe_dataset_labels(corpus):
+    ds = ProbeDataset(corpus, snippet_samples=16000)
+    assert ds.num_speakers == 3
+    x, spk, phones = ds.item_with_labels(0)
+    assert 0 <= spk < 3
+    assert phones is not None and phones.shape == (16000,)
+
+
+def test_batcher_determinism_and_resume(corpus):
+    ds = SnippetDataset(corpus, snippet_samples=16000, snippet_stride=8000)
+    b1 = Batcher(ds, batch_size=4, seed=7)
+    got1 = []
+    it = iter(b1)
+    for _ in range(7):
+        got1.append(next(it))
+    state = b1.state()
+
+    # fresh batcher restored mid-stream must continue identically
+    b2 = Batcher(ds, batch_size=4, seed=0)
+    b2.restore(state)
+    n1 = next(iter(b2))
+    b3 = Batcher(ds, batch_size=4, seed=7)
+    it3 = iter(b3)
+    for _ in range(7):
+        next(it3)
+    n3 = next(it3)
+    assert n1[0] == n3[0] and n1[1] == n3[1]
+    np.testing.assert_array_equal(n1[2], n3[2])
+
+    # int16 wire format
+    assert got1[0][2].dtype == np.int16
+
+
+def test_batcher_epoch_rollover(corpus):
+    ds = SnippetDataset(corpus, snippet_samples=16000, snippet_stride=8000)
+    b = Batcher(ds, batch_size=4, seed=0)  # 18 snippets -> 4 batches/epoch
+    seen = []
+    it = iter(b)
+    for _ in range(9):
+        epoch, pos, _ = next(it)
+        seen.append((epoch, pos))
+    assert seen[:4] == [(0, 0), (0, 1), (0, 2), (0, 3)]
+    assert seen[4] == (1, 0)

@@ -1,0 +1,125 @@
+"""Distributed tests on the 8-virtual-device CPU mesh (SURVEY.md §5.3):
+cross-replica negative sharing (all-gather scoring) == single-device
+large-batch scoring, and psum-ed grads == serial grads."""
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cpc_tpu.config import (ArConfig, CPCConfig, DataConfig, EncoderConfig,
+                            LossConfig, ModelConfig, TrainConfig)
+from cpc_tpu.models.cpc import CPCModel
+from cpc_tpu.ops.infonce import infonce_loss_and_metrics
+from cpc_tpu.parallel.mesh import batch_sharding, make_mesh
+from cpc_tpu.train.train_step import init_state, make_step_fns
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def _cfg(cross_replica: bool) -> CPCConfig:
+    return CPCConfig(
+        model=ModelConfig(
+            encoder=EncoderConfig(channels=(16, 16), kernels=(10, 8),
+                                  strides=(5, 4), d_enc=16),
+            ar=ArConfig(d_ar=8),
+            loss=LossConfig(prediction_steps=2, cross_replica=cross_replica),
+        ),
+        data=DataConfig(batch_size=16, snippet_samples=2000),
+        train=TrainConfig(seed=0),
+    )
+
+
+def _batch(cfg, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal(
+        (cfg.data.batch_size, cfg.data.snippet_samples)).astype(np.float32)
+    return jnp.asarray(np.clip(np.round(x * 8000), -32768, 32767).astype(
+        np.int16))
+
+
+def test_crossreplica_loss_equals_single_device():
+    cfg = _cfg(cross_replica=True)
+    model = CPCModel(cfg.model)
+    mesh8 = make_mesh((8,), ("data",))
+    mesh1 = make_mesh((1,), ("data",), devices=jax.devices()[:1])
+
+    steps8 = make_step_fns(cfg, model, mesh8)
+    steps1 = make_step_fns(cfg, model, mesh1)
+    params, opt_state = init_state(cfg, model, steps8.optimizer)
+    batch = _batch(cfg)
+
+    m8 = steps8.eval_step(params, jax.device_put(batch, batch_sharding(mesh8)))
+    m1 = steps1.eval_step(params, batch)
+    np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(m8["acc"]), np.asarray(m1["acc"]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_dp_train_step_matches_single_device():
+    cfg = _cfg(cross_replica=True)
+    model = CPCModel(cfg.model)
+    mesh8 = make_mesh((8,), ("data",))
+    mesh1 = make_mesh((1,), ("data",), devices=jax.devices()[:1])
+
+    steps8 = make_step_fns(cfg, model, mesh8)
+    steps1 = make_step_fns(cfg, model, mesh1)
+    params, opt_state = init_state(cfg, model, steps8.optimizer)
+    batch = _batch(cfg)
+
+    p8, s8, m8 = steps8.train_step(
+        jax.tree.map(jnp.copy, params), jax.tree.map(jnp.copy, opt_state),
+        jax.device_put(batch, batch_sharding(mesh8)))
+    p1, s1, m1 = steps1.train_step(
+        jax.tree.map(jnp.copy, params), jax.tree.map(jnp.copy, opt_state),
+        batch)
+
+    np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p8), jax.tree.leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+
+
+def test_local_negatives_shardmap_runs():
+    # cross_replica=False: per-replica negatives; just verify it runs and
+    # returns finite metrics (objective differs from global by design).
+    cfg = _cfg(cross_replica=False)
+    model = CPCModel(cfg.model)
+    mesh8 = make_mesh((8,), ("data",))
+    steps8 = make_step_fns(cfg, model, mesh8)
+    params, opt_state = init_state(cfg, model, steps8.optimizer)
+    batch = jax.device_put(_batch(cfg), batch_sharding(mesh8))
+    p, s, m = steps8.train_step(params, opt_state, batch)
+    assert np.isfinite(float(m["loss"]))
+    # local pool is 2 items (16/8) -> chance acc = 0.5
+    assert np.asarray(m["acc"]).shape == (2,)
+
+
+def test_allgather_infonce_labels_shift():
+    # direct shard_map check of the axis_name path in infonce
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh((8,), ("data",))
+    B, T, K, D = 16, 8, 2, 4
+    rng = np.random.default_rng(1)
+    preds = jnp.asarray(rng.standard_normal((B, T, K, D)), jnp.float32)
+    z = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+
+    def local(p, zz):
+        loss, m = infonce_loss_and_metrics(p, zz, negatives="same_step",
+                                           axis_name="data")
+        return jax.lax.pmean(loss, "data"), jax.lax.pmean(m["acc"], "data")
+
+    loss_dp, acc_dp = jax.jit(shard_map(
+        local, mesh=mesh, in_specs=(P("data"), P("data")),
+        out_specs=(P(), P()), check_vma=False))(preds, z)
+    loss_1, m1 = infonce_loss_and_metrics(preds, z, negatives="same_step")
+    np.testing.assert_allclose(float(loss_dp), float(loss_1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(acc_dp), np.asarray(m1["acc"]),
+                               rtol=1e-5, atol=1e-6)

@@ -98,10 +98,11 @@ class Trainer:
             self.step += 1
             steps_since_log += 1
             if self.step % cfg.log_every == 0 or self.step == total:
-                jax.block_until_ready(metrics["loss"])
+                # on axon, block_until_ready is a no-op; a host fetch is the
+                # only real sync — fetch BEFORE reading the clock
+                last_metrics = {k: np.asarray(v) for k, v in metrics.items()}
                 dt = time.time() - t_log
                 thr = steps_since_log * audio_sec_per_batch / max(dt, 1e-9)
-                last_metrics = {k: np.asarray(v) for k, v in metrics.items()}
                 last_metrics["audio_sec_per_sec"] = thr
                 last_metrics["steps_per_sec"] = steps_since_log / max(dt, 1e-9)
                 self.writer.write(self.step, last_metrics, "train")

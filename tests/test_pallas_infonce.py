@@ -1,0 +1,96 @@
+"""Kernel parity tests (SURVEY.md §5.2): Pallas fused InfoNCE == jnp
+reference, forward values AND gradients, interpret mode on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cpc_tpu.ops.infonce import infonce_loss_and_metrics
+from cpc_tpu.ops.infonce_pallas import fused_infonce
+
+
+def _data(B=4, T=16, K=3, D=8, C=None, seed=0):
+    C = C or B
+    rng = np.random.default_rng(seed)
+    preds = rng.standard_normal((B, T, K, D)).astype(np.float32)
+    z = rng.standard_normal((C, T, D)).astype(np.float32)
+    return jnp.asarray(preds), jnp.asarray(z)
+
+
+@pytest.mark.parametrize("shape", [(4, 16, 3, 8), (3, 10, 4, 16), (8, 20, 12, 8)])
+def test_forward_parity(shape):
+    B, T, K, D = shape
+    preds, z = _data(B, T, K, D)
+    Tp = T - K
+    loss_ref, m_ref = infonce_loss_and_metrics(preds, z, negatives="same_step")
+    loss_pal, m_pal = fused_infonce(preds[:, :Tp], z, negatives="same_step",
+                                    interpret=True)
+    np.testing.assert_allclose(float(loss_pal), float(loss_ref), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(m_pal["acc"]),
+                               np.asarray(m_ref["acc"]), atol=1e-7)
+
+
+def test_gradient_parity():
+    B, T, K, D = 4, 12, 3, 8
+    preds, z = _data(B, T, K, D, seed=3)
+    Tp = T - K
+
+    def loss_ref(p, zz):
+        return infonce_loss_and_metrics(p, zz, negatives="same_step")[0]
+
+    def loss_pal(p, zz):
+        return fused_infonce(p[:, :Tp], zz, negatives="same_step",
+                             interpret=True)[0]
+
+    gr_p, gr_z = jax.grad(loss_ref, argnums=(0, 1))(preds, z)
+    gp_p, gp_z = jax.grad(loss_pal, argnums=(0, 1))(preds, z)
+    # reference grads flow into preds[:, :Tp] only; the fused op slices first
+    np.testing.assert_allclose(np.asarray(gp_p[:, :Tp]),
+                               np.asarray(gr_p[:, :Tp]), rtol=1e-5, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(gp_p[:, Tp:]), 0.0)
+    np.testing.assert_allclose(np.asarray(gp_z), np.asarray(gr_z),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_cross_replica_shift_parity():
+    # shifted labels (replica offset into the gathered pool)
+    B, T, K, D, C = 2, 10, 2, 8, 6
+    preds, z = _data(B, T, K, D, C=C, seed=5)
+    Tp = T - K
+    # jnp reference with a manual shift: emulate replica rows [2, 4) of 6
+    from cpc_tpu.ops.infonce import stacked_targets, _ce_and_acc
+    tgt = stacked_targets(z, K)
+    scores = jnp.einsum("itkd,jtkd->tkij", preds[:, :Tp], tgt)
+    labels = jnp.broadcast_to(2 + jnp.arange(B), (Tp, K, B))
+    loss_ref, acc_ref = _ce_and_acc(scores, labels)
+
+    loss_pal, m_pal = fused_infonce(preds[:, :Tp], z, negatives="same_step",
+                                    shift=2, interpret=True)
+    np.testing.assert_allclose(float(loss_pal), float(loss_ref), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(m_pal["acc"]), np.asarray(acc_ref),
+                               atol=1e-7)
+
+
+def test_use_pallas_flag_routes_through_kernel():
+    B, T, K, D = 4, 14, 3, 8
+    preds, z = _data(B, T, K, D, seed=9)
+    l1, m1 = infonce_loss_and_metrics(preds, z, negatives="same_step",
+                                      use_pallas=False)
+    l2, m2 = infonce_loss_and_metrics(preds, z, negatives="same_step",
+                                      use_pallas=True)
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(m2["acc"]), np.asarray(m1["acc"]),
+                               atol=1e-7)
+
+
+def test_all_steps_fallback_parity():
+    B, T, K, D = 3, 12, 2, 8
+    preds, z = _data(B, T, K, D, seed=11)
+    l1, m1 = infonce_loss_and_metrics(preds, z, negatives="all_steps",
+                                      use_pallas=False)
+    l2, m2 = infonce_loss_and_metrics(preds, z, negatives="all_steps",
+                                      use_pallas=True)
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(m2["acc"]), np.asarray(m1["acc"]),
+                               atol=1e-7)

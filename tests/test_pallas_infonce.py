@@ -94,3 +94,32 @@ def test_all_steps_fallback_parity():
     np.testing.assert_allclose(float(l2), float(l1), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(m2["acc"]), np.asarray(m1["acc"]),
                                atol=1e-7)
+
+
+def test_k_tiling_path_parity(monkeypatch):
+    # shrink the VMEM budget so _choose_kt picks KT > 1, then check parity
+    import cpc_tpu.ops.infonce_pallas as ip
+    B, T, K, D = 128, 12, 2, 16  # KG*B = 128 when KT=2 (lane-aligned)
+    monkeypatch.setattr(ip, "_VMEM_BUDGET", 300_000)
+    assert ip._choose_kt(K, B, B, D, 4) == 2
+    preds, z = _data(B, T, K, D, seed=13)
+    Tp = T - K
+    loss_ref, m_ref = infonce_loss_and_metrics(preds, z, negatives="same_step")
+    loss_pal, m_pal = ip.fused_infonce(preds[:, :Tp], z, interpret=True)
+    np.testing.assert_allclose(float(loss_pal), float(loss_ref), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(m_pal["acc"]),
+                               np.asarray(m_ref["acc"]), atol=1e-7)
+
+    # gradient parity through the tiled path (incl. dz VMEM accumulation)
+    def f_ref(p, zz):
+        return infonce_loss_and_metrics(p, zz, negatives="same_step")[0]
+
+    def f_pal(p, zz):
+        return ip.fused_infonce(p[:, :Tp], zz, interpret=True)[0]
+
+    gr = jax.grad(f_ref, argnums=(0, 1))(preds, z)
+    gp = jax.grad(f_pal, argnums=(0, 1))(preds, z)
+    np.testing.assert_allclose(np.asarray(gp[0][:, :Tp]),
+                               np.asarray(gr[0][:, :Tp]), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gr[1]),
+                               rtol=1e-5, atol=1e-7)

@@ -72,6 +72,7 @@ class ArConfig:
     kind: str = "gru"  # 'gru' | 'transformer'
     d_ar: int = 256
     num_layers: int = 1
+    use_pallas: bool = False  # Pallas scan kernel for the GRU recurrence
     # transformer-only knobs
     num_heads: int = 8
     mlp_ratio: int = 4
@@ -196,6 +197,7 @@ class presets:
         return CPCConfig(
             name="dp_global_negatives",
             model=ModelConfig(
+                ar=ArConfig(use_pallas=True),
                 loss=LossConfig(cross_replica=True, use_pallas=True),
                 dtype="bfloat16",
             ),
@@ -209,6 +211,7 @@ class presets:
         return CPCConfig(
             name="tpu_fast",
             model=ModelConfig(
+                ar=ArConfig(use_pallas=True),
                 loss=LossConfig(use_pallas=True),
                 dtype="bfloat16",
             ),

@@ -51,6 +51,7 @@ class CPCModel(nn.Module):
                 num_layers=self.config.ar.num_layers,
                 dtype=dtype,
                 param_dtype=param_dtype,
+                use_pallas=self.config.ar.use_pallas,
             )
         elif self.config.ar.kind == "transformer":
             self.gar = CausalTransformer(self.config.ar, dtype=dtype,

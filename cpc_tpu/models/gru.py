@@ -22,12 +22,17 @@ from flax import linen as nn
 
 
 class GRU(nn.Module):
-    """Multi-layer unidirectional GRU. Input (B, T, D) -> (B, T, H)."""
+    """Multi-layer unidirectional GRU. Input (B, T, D) -> (B, T, H).
+
+    use_pallas routes the recurrence through the single-pallas_call scan
+    kernel (cpc_tpu.ops.gru_pallas) instead of lax.scan — same math, far
+    lower per-step dispatch cost on TPU."""
 
     hidden_size: int
     num_layers: int = 1
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -39,6 +44,7 @@ class GRU(nn.Module):
                 hidden_size=self.hidden_size,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
+                use_pallas=self.use_pallas,
                 name=f"layer{layer}",
             )(h, None if h0 is None else h0[layer])
         return h
@@ -48,6 +54,7 @@ class _GRULayer(nn.Module):
     hidden_size: int
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -75,6 +82,12 @@ class _GRULayer(nn.Module):
 
         if h0 is None:
             h0 = jnp.zeros((B, H), self.dtype)
+
+        if self.use_pallas:
+            from cpc_tpu.ops.gru_pallas import gru_scan
+            interpret = jax.default_backend() != "tpu"
+            hs = gru_scan(xproj, wh, bh, h0.astype(jnp.float32), interpret)
+            return hs.transpose(1, 0, 2).astype(self.dtype)
 
         def step(h, xp):
             # torch.nn.GRU gate order: r, z, n

@@ -1,0 +1,77 @@
+"""Probe/eval CLI (SURVEY.md §4.3):
+
+    python -m cpc_tpu.eval --config=baseline --workdir=runs/x \
+        --probe=speaker --data=<corpus>
+
+Loads the latest checkpoint from the workdir, freezes the model, and runs
+the requested linear probe. `--probe=both` runs speaker + phone.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+
+import jax
+
+from cpc_tpu.config import presets
+from cpc_tpu.data.dataset import ProbeDataset
+from cpc_tpu.data.synthetic import generate_synthetic_corpus
+from cpc_tpu.models.cpc import CPCModel
+from cpc_tpu.eval.probes import run_phone_probe, run_speaker_probe
+from cpc_tpu.train.checkpoint import CheckpointManager
+from cpc_tpu.train.train_step import init_state, make_step_fns
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="cpc_tpu.eval")
+    p.add_argument("--config", default="baseline")
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--data", default="synthetic")
+    p.add_argument("--probe", default="both",
+                   choices=["speaker", "phone", "both"])
+    p.add_argument("--feature", default="c", choices=["c", "z"])
+    p.add_argument("--steps", type=int, default=300)
+    p.add_argument("--max-snippets", type=int, default=512)
+    args = p.parse_args(argv)
+
+    cfg = presets.by_name(args.config)
+    model = CPCModel(cfg.model)
+    steps = make_step_fns(cfg, model, mesh=None)
+    params, opt_state = init_state(cfg, model, steps.optimizer)
+
+    ckpt_dir = os.path.join(args.workdir, cfg.train.checkpoint_dir)
+    restored = CheckpointManager(ckpt_dir).restore_latest(params, opt_state)
+    if restored is None:
+        print(json.dumps({"warning": f"no checkpoint under {ckpt_dir}; "
+                          "probing a randomly initialized model"}))
+        step = 0
+    else:
+        params, _, step, _ = restored
+
+    if args.data == "synthetic":
+        corpus = os.path.join(args.workdir, "synthetic_corpus")
+        if not os.path.isdir(corpus):
+            generate_synthetic_corpus(corpus, num_speakers=8,
+                                      files_per_speaker=3,
+                                      seconds_per_file=4.0, seed=0)
+    else:
+        corpus = args.data
+    ds = ProbeDataset(corpus, cfg.data.snippet_samples,
+                      cfg.data.snippet_samples, cfg.data.sample_rate)
+
+    results = {"checkpoint_step": step, "feature": args.feature}
+    if args.probe in ("speaker", "both"):
+        r = run_speaker_probe(model, params, ds, feature=args.feature,
+                              steps=args.steps,
+                              max_snippets=args.max_snippets)
+        results["speaker_probe"] = dataclasses.asdict(r)
+    if args.probe in ("phone", "both"):
+        r = run_phone_probe(model, params, ds, feature=args.feature,
+                            steps=args.steps,
+                            max_snippets=args.max_snippets)
+        results["phone_probe"] = dataclasses.asdict(r)
+    print(json.dumps(results))
+    return 0

@@ -1,0 +1,155 @@
+"""Frozen-encoder downstream probes (SURVEY.md §4.3, BASELINE.json:11):
+speaker-ID and phone classification with a linear classifier on frozen CPC
+features.
+
+Protocol (CPC paper §3.1 / reference's eval):
+  * features = context c (default; the paper probes c) or latents z,
+    mean-pooled per utterance for speaker-ID, per-frame for phones;
+  * a single Dense layer trained with softmax-CE, Adam; the CPC model stays
+    frozen (stop_gradient is structural: only probe params are optimized);
+  * top-1 accuracy on a held-out split.
+
+The probe train loop is one jitted full-batch step over pre-extracted
+features — feature extraction is the only model-forward cost.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from cpc_tpu.data.dataset import ProbeDataset
+from cpc_tpu.models.cpc import CPCModel
+
+
+@dataclasses.dataclass
+class LinearProbeResult:
+    accuracy: float
+    num_classes: int
+    num_train: int
+    num_eval: int
+    feature: str
+
+
+def _extract(model, params, snippets: np.ndarray, feature: str,
+             batch: int = 32) -> np.ndarray:
+    """snippets (N, S) -> per-frame features (N, T, d), jitted in batches."""
+    fwd = jax.jit(lambda p, a: model.apply(p, a))
+    outs = []
+    n_pad = (-len(snippets)) % batch
+    padded = np.concatenate(
+        [snippets, np.zeros((n_pad,) + snippets.shape[1:], snippets.dtype)])
+    for i in range(0, len(padded), batch):
+        out = fwd(params, jnp.asarray(padded[i:i + batch]))
+        feats = out.c if feature == "c" else out.z
+        outs.append(np.asarray(feats, np.float32))
+    return np.concatenate(outs)[:len(snippets)]
+
+
+def _train_linear(
+    x_train: np.ndarray, y_train: np.ndarray,
+    x_eval: np.ndarray, y_eval: np.ndarray,
+    num_classes: int, *, steps: int = 300, lr: float = 1e-2, seed: int = 0,
+) -> float:
+    """Full-batch Adam on a Dense probe; returns eval top-1 accuracy.
+    Features are standardized with train-split statistics."""
+    mu = x_train.mean(axis=0, keepdims=True)
+    sd = x_train.std(axis=0, keepdims=True) + 1e-6
+    x_train = (x_train - mu) / sd
+    x_eval = (x_eval - mu) / sd
+    d = x_train.shape[-1]
+    rng = jax.random.key(seed)
+    w = jax.random.normal(rng, (d, num_classes)) * 0.01
+    b = jnp.zeros((num_classes,))
+    params = {"w": w, "b": b}
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+    xt, yt = jnp.asarray(x_train), jnp.asarray(y_train)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            logits = xt @ p["w"] + p["b"]
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, yt).mean()
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state
+
+    for _ in range(steps):
+        params, opt_state = step(params, opt_state)
+
+    logits = np.asarray(jnp.asarray(x_eval) @ params["w"] + params["b"])
+    return float((logits.argmax(-1) == y_eval).mean())
+
+
+def _split(n: int, eval_frac: float, seed: int):
+    order = np.random.default_rng(seed).permutation(n)
+    n_eval = max(1, int(n * eval_frac))
+    return order[n_eval:], order[:n_eval]
+
+
+def run_speaker_probe(
+    model: CPCModel, params, dataset: ProbeDataset, *,
+    feature: str = "c", max_snippets: int = 512, eval_frac: float = 0.25,
+    steps: int = 300, seed: int = 0,
+) -> LinearProbeResult:
+    """Mean-pooled utterance features -> speaker id (BASELINE.json:11)."""
+    n = min(len(dataset), max_snippets)
+    snippets, labels = [], []
+    for i in range(n):
+        x, spk, _ = dataset.item_with_labels(i)
+        snippets.append(x)
+        labels.append(spk)
+    feats = _extract(model, params, np.stack(snippets), feature)
+    pooled = feats.mean(axis=1)  # (N, d)
+    y = np.asarray(labels)
+    tr, ev = _split(n, eval_frac, seed)
+    acc = _train_linear(pooled[tr], y[tr], pooled[ev], y[ev],
+                        dataset.num_speakers, steps=steps, seed=seed)
+    return LinearProbeResult(acc, dataset.num_speakers, len(tr), len(ev),
+                             feature)
+
+
+def run_phone_probe(
+    model: CPCModel, params, dataset: ProbeDataset, *,
+    feature: str = "c", max_snippets: int = 256, eval_frac: float = 0.25,
+    steps: int = 300, seed: int = 0, num_phones: Optional[int] = None,
+) -> LinearProbeResult:
+    """Per-frame features -> frame-level phone labels (BASELINE.json:11).
+
+    Phone labels are per-sample; each latent frame takes the majority label
+    of its 160-sample receptive stride."""
+    n = min(len(dataset), max_snippets)
+    snippets, frame_labels = [], []
+    for i in range(n):
+        x, _, phones = dataset.item_with_labels(i)
+        if phones is None:
+            raise ValueError(
+                "phone probe needs <utt>.phones.npy label files "
+                "(the synthetic generator writes them; for real corpora dump "
+                "forced alignments in the same format)")
+        snippets.append(x)
+        frame_labels.append(phones)
+    feats = _extract(model, params, np.stack(snippets), feature)  # (N, T, d)
+    N, T, d = feats.shape
+    ds = len(snippets[0]) // T
+    # majority label per frame
+    lab = np.stack(frame_labels)[:, :T * ds].reshape(N, T, ds)
+    frame_lab = np.apply_along_axis(
+        lambda a: np.bincount(a).argmax(), 2, lab)  # (N, T)
+    X = feats.reshape(N * T, d)
+    y = frame_lab.reshape(N * T)
+    n_classes = num_phones or int(y.max()) + 1
+    tr, ev = _split(N, eval_frac, seed)
+    tr_mask = np.zeros(N, bool); tr_mask[tr] = True
+    tr_idx = np.repeat(tr_mask, T)
+    acc = _train_linear(X[tr_idx], y[tr_idx], X[~tr_idx], y[~tr_idx],
+                        n_classes, steps=steps, seed=seed)
+    return LinearProbeResult(acc, n_classes, int(tr_idx.sum()),
+                             int((~tr_idx).sum()), feature)

@@ -32,6 +32,8 @@ class EncoderConfig:
     norm: str = "none"  # 'none' | 'layer' | 'group' | 'batch'
     activation: str = "relu"
     d_enc: int = 512  # output latent dim (== channels[-1])
+    use_pallas: bool = False  # fused Pallas conv pyramid (SAME/relu/no-norm)
+    pallas_time_tile: int = 64  # final latents per kernel program
 
     # scalogram front-end (music/MAESTRO variant, BASELINE.json:8) --------
     scalogram_n_fft: int = 1024

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -29,8 +30,33 @@ def _activation(name: str):
     }[name]
 
 
+class _ConvParams(nn.Module):
+    """Parameter-only stand-in for nn.Conv with an IDENTICAL variable tree
+    ({kernel, bias} under the module name), so checkpoints are interchangeable
+    between the XLA path and the fused Pallas path."""
+
+    kernel_size: int
+    in_features: int
+    features: int
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kernel_size, self.in_features, self.features),
+            self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          self.param_dtype)
+        return kernel, bias
+
+
 class ConvEncoder(nn.Module):
-    """Strided Conv1d pyramid: waveform (B, T) or (B, T, 1) -> z (B, T', d_enc)."""
+    """Strided Conv1d pyramid: waveform (B, T) or (B, T, 1) -> z (B, T', d_enc).
+
+    With config.use_pallas (SAME padding, no norm, relu), the whole pyramid
+    runs as ONE fused Pallas kernel (cpc_tpu.ops.conv_pallas) — intermediate
+    activations never touch HBM."""
 
     config: EncoderConfig
     dtype: Any = jnp.float32
@@ -43,6 +69,27 @@ class ConvEncoder(nn.Module):
             x = x[..., None]  # (B, T, 1)
         x = x.astype(self.dtype)
         act = _activation(cfg.activation)
+        if cfg.use_pallas:
+            if (cfg.padding != "SAME" or cfg.norm != "none"
+                    or cfg.activation != "relu"):
+                raise ValueError(
+                    "fused Pallas encoder supports SAME padding, no norm, "
+                    "relu only; disable encoder.use_pallas for this config")
+            from cpc_tpu.ops.conv_pallas import fused_conv_encoder
+            weights, biases = [], []
+            c_in = 1
+            for i, (ch, k, s) in enumerate(
+                    zip(cfg.channels, cfg.kernels, cfg.strides)):
+                w, b = _ConvParams(k, c_in, ch, self.param_dtype,
+                                   name=f"conv{i}")()
+                weights.append(w.astype(self.dtype))
+                biases.append(b.astype(self.dtype))
+                c_in = ch
+            interpret = jax.default_backend() != "tpu"
+            return fused_conv_encoder(
+                x[..., 0], tuple(weights), tuple(biases),
+                tuple(cfg.kernels), tuple(cfg.strides),
+                cfg.pallas_time_tile, interpret)
         for i, (ch, k, s) in enumerate(zip(cfg.channels, cfg.kernels, cfg.strides)):
             x = nn.Conv(
                 features=ch,

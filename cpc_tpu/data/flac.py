@@ -1,0 +1,75 @@
+"""ctypes binding for the native FLAC decoder (cpc_tpu/data/native/flacdec.cpp).
+
+Builds the shared library on first use (g++ is baked into the image; no
+pybind11, per environment constraints) and caches it next to the source.
+Registered automatically as the '.flac' decoder by cpc_tpu.data.dataset.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
+_SRC = os.path.join(_NATIVE_DIR, "flacdec.cpp")
+_SO = os.path.join(_NATIVE_DIR, "_flacdec.so")
+
+_lock = threading.Lock()
+_lib = None
+
+
+def _build() -> None:
+    cmd = ["g++", "-O2", "-fPIC", "-shared", "-std=c++17", "-o", _SO, _SRC]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _load():
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if (not os.path.exists(_SO)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            _build()
+        lib = ctypes.CDLL(_SO)
+        lib.flac_decode_file.restype = ctypes.c_int
+        lib.flac_decode_file.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.flac_free.restype = None
+        lib.flac_free.argtypes = [ctypes.POINTER(ctypes.c_int32)]
+        _lib = lib
+        return lib
+
+
+def read_flac(path: str) -> Tuple[np.ndarray, int]:
+    """Returns (samples (T, C) float32 in [-1, 1], sample_rate) — the same
+    contract as cpc_tpu.data.wavio.read_wav."""
+    lib = _load()
+    out = ctypes.POINTER(ctypes.c_int32)()
+    n = ctypes.c_int64()
+    ch = ctypes.c_int32()
+    sr = ctypes.c_int32()
+    bps = ctypes.c_int32()
+    rc = lib.flac_decode_file(path.encode(), ctypes.byref(out),
+                              ctypes.byref(n), ctypes.byref(ch),
+                              ctypes.byref(sr), ctypes.byref(bps))
+    if rc != 0:
+        raise ValueError(f"{path}: FLAC decode failed (code {rc})")
+    try:
+        count = n.value * ch.value
+        arr = np.ctypeslib.as_array(out, shape=(count,)).copy()
+    finally:
+        lib.flac_free(out)
+    x = arr.astype(np.float32) / float(1 << (bps.value - 1))
+    return x.reshape(n.value, ch.value), sr.value

@@ -107,6 +107,7 @@ class LossConfig:
     negatives: str = "same_step"  # 'same_step' | 'all_steps'
     cross_replica: bool = True
     use_pallas: bool = False  # fused Pallas InfoNCE kernel on the hot path
+    pallas_bf16: bool = False  # bf16 wire into the kernel (fp32 accumulate)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -200,7 +201,8 @@ class presets:
             name="dp_global_negatives",
             model=ModelConfig(
                 ar=ArConfig(use_pallas=True),
-                loss=LossConfig(cross_replica=True, use_pallas=True),
+                loss=LossConfig(cross_replica=True, use_pallas=True,
+                                pallas_bf16=True),
                 dtype="bfloat16",
             ),
             data=DataConfig(batch_size=64),
@@ -214,7 +216,7 @@ class presets:
             name="tpu_fast",
             model=ModelConfig(
                 ar=ArConfig(use_pallas=True),
-                loss=LossConfig(use_pallas=True),
+                loss=LossConfig(use_pallas=True, pallas_bf16=True),
                 dtype="bfloat16",
             ),
             data=DataConfig(batch_size=64),

@@ -73,6 +73,7 @@ def infonce_loss_and_metrics(
     negatives: str = "same_step",
     axis_name: Optional[str] = None,
     use_pallas: bool = False,
+    pallas_bf16: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """InfoNCE loss + per-k accuracy.
 
@@ -88,8 +89,23 @@ def infonce_loss_and_metrics(
     """
     B, T, K, D = preds.shape
     Tp = T - K
-    preds_v = preds[:, :Tp].astype(jnp.float32)  # (B, Tp, K, D)
 
+    if use_pallas:
+        from cpc_tpu.ops.infonce_pallas import fused_infonce
+        # bf16 wire halves the kernel's VMEM/HBM footprint AND the ICI bytes
+        # of the cross-replica all-gather; accumulation stays fp32 inside.
+        kdtype = jnp.bfloat16 if pallas_bf16 else jnp.float32
+        zc = z.astype(kdtype)
+        if axis_name is not None:
+            z_all = jax.lax.all_gather(zc, axis_name)
+            z_pool = z_all.reshape(z_all.shape[0] * B, T, D)
+            shift = jax.lax.axis_index(axis_name) * B
+        else:
+            z_pool, shift = zc, 0
+        return fused_infonce(preds[:, :Tp].astype(kdtype), z_pool,
+                             negatives=negatives, shift=shift)
+
+    preds_v = preds[:, :Tp].astype(jnp.float32)  # (B, Tp, K, D)
     zf = z.astype(jnp.float32)
     if axis_name is not None:
         # (R, B, T, D) -> (R*B, T, D); this replica's rows start at shift.
@@ -100,10 +116,6 @@ def infonce_loss_and_metrics(
     else:
         z_pool = zf
         shift = 0
-
-    if use_pallas:
-        from cpc_tpu.ops.infonce_pallas import fused_infonce
-        return fused_infonce(preds_v, z_pool, negatives=negatives, shift=shift)
 
     if negatives == "same_step":
         tgt = stacked_targets(z_pool, K)  # (C, Tp, K, D), C = pool batch

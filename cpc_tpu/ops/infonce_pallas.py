@@ -275,14 +275,15 @@ def fused_infonce(
     negatives: str = "same_step",
     shift: int = 0,
     interpret: bool = False,
-    compute_dtype=jnp.float32,
+    compute_dtype=None,
 ) -> Tuple[jnp.ndarray, dict]:
     """Drop-in fused replacement for the scoring+CE block of
     cpc_tpu.ops.infonce.infonce_loss_and_metrics.
 
     compute_dtype: wire dtype into the kernel's matmuls (accumulation is
-    always fp32 via preferred_element_type). fp32 is the parity config;
-    bfloat16 halves kernel HBM/VMEM traffic and doubles MXU rate.
+    always fp32 via preferred_element_type). None keeps the input dtype;
+    fp32 is the parity config; bfloat16 halves kernel HBM/VMEM traffic and
+    doubles MXU rate.
     """
     # Mosaic targets TPU only; elsewhere (CPU tests, virtual meshes) run the
     # interpreter, which doubles as the §5.2 parity oracle.
@@ -305,11 +306,13 @@ def fused_infonce(
 
     B, Tp, K, D = preds_v.shape
     C, T, _ = z_pool.shape
+    if compute_dtype is not None:
+        preds_v = preds_v.astype(compute_dtype)
+        z_pool = z_pool.astype(compute_dtype)
     preds_t = preds_v.transpose(1, 2, 0, 3)  # (Tp, K, B, D)
     z_t = z_pool.transpose(1, 0, 2)          # (T, C, D)
     nll, correct = fused_same_step_nll(
-        preds_t.astype(compute_dtype), z_t.astype(compute_dtype),
-        jnp.asarray(shift, jnp.int32), interpret)
+        preds_t, z_t, jnp.asarray(shift, jnp.int32), interpret)
     mask = validity_mask(T, K, B, Tp)
     denom = Tp * B  # valid rows per k
     loss = jnp.sum(nll * mask) / (denom * K)

@@ -34,6 +34,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true",
                    help="resume from latest checkpoint in workdir")
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--profile", action="store_true",
+                   help="wrap training in a jax.profiler trace "
+                        "(written to <workdir>/profile)")
+    p.add_argument("--nan-debug", action="store_true",
+                   help="raise on the first NaN inside jitted code")
     return p
 
 
@@ -76,6 +81,14 @@ def main(argv=None) -> int:
         print(f"resume: {'restored step ' + str(trainer.step) if resumed else 'no checkpoint found'}")
     print(f"config={cfg.name} devices={trainer.mesh.size} "
           f"batch={cfg.data.batch_size} steps={cfg.train.num_steps}")
-    trainer.train()
+    if args.nan_debug:
+        from cpc_tpu.utils.profiling import enable_nan_debug
+        enable_nan_debug()
+    if args.profile:
+        from cpc_tpu.utils.profiling import trace
+        with trace(os.path.join(args.workdir, "profile")):
+            trainer.train()
+    else:
+        trainer.train()
     trainer.close()
     return 0

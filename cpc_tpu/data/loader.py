@@ -46,6 +46,7 @@ class Batcher:
         drop_remainder: bool = True,
         prefetch: int = 2,
         transfer_dtype: str = "int16",
+        num_workers: int = 0,
         start_epoch: int = 0,
         start_pos: int = 0,
     ):
@@ -61,6 +62,10 @@ class Batcher:
         self.transfer_dtype = transfer_dtype
         self.epoch = start_epoch
         self.pos = start_pos  # batch index within the current epoch
+        self._pool = None
+        if num_workers > 0:
+            import concurrent.futures
+            self._pool = concurrent.futures.ThreadPoolExecutor(num_workers)
 
     # -- checkpointable iterator state (SURVEY.md §6.4) --------------------
     def state(self) -> dict:
@@ -85,7 +90,11 @@ class Batcher:
 
     def _assemble(self, order: np.ndarray, b: int) -> np.ndarray:
         idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
-        snips = np.stack([self.dataset[int(i)] for i in idxs])
+        if self._pool is not None:
+            snips = np.stack(list(self._pool.map(
+                self.dataset.__getitem__, (int(i) for i in idxs))))
+        else:
+            snips = np.stack([self.dataset[int(i)] for i in idxs])
         if self.transfer_dtype == "int16":
             return np.clip(np.round(snips * 32768.0), -32768, 32767).astype(
                 np.int16)

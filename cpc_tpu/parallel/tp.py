@@ -1,0 +1,95 @@
+"""Tensor-parallel (2-D mesh) execution mode: jit + GSPMD sharding
+propagation over a ('data', 'model') mesh.
+
+The reference has no parallelism at all (SURVEY.md §3 note) and the CPC
+baseline (7.4M params) fits trivially on one chip, so DP
+(cpc_tpu.parallel.dp) is the production mode. This module exists for the
+scaled-up variants (wide d_enc/d_ar, long-snippet scalogram models): encoder
+output channels, GRU input projections, and the K prediction heads shard over
+the 'model' axis; XLA/GSPMD inserts the psum/all-gather collectives implied
+by the annotations — no hand-written collectives, per the
+pick-a-mesh/annotate/let-XLA-insert recipe.
+
+Sharding rules (P = PartitionSpec):
+  conv kernels (k, C_in, C_out)  -> P(None, None, 'model')   (column parallel)
+  conv biases  (C_out,)          -> P('model')
+  gru wi (D, 3H) / dense kernels -> P('model', None)         (row parallel,
+                                    contraction over the sharded dim -> psum)
+  prediction heads (d_ar, K*C)   -> P(None, 'model')
+  everything else                -> replicated
+  batch                          -> P('data')
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _rule(path: Tuple, leaf, mesh: Mesh) -> NamedSharding:
+    keys = [getattr(k, "key", getattr(k, "name", str(k))) for k in path]
+    name = "/".join(str(k) for k in keys)
+    axis = "model"
+    msize = mesh.shape[axis]
+
+    def ok(dim):
+        return leaf.ndim > 0 and leaf.shape[dim] % msize == 0
+
+    if "prediction_heads" in name and name.endswith("kernel") and ok(-1):
+        return NamedSharding(mesh, P(None, "model"))
+    if "conv" in name and name.endswith("kernel") and leaf.ndim == 3 and ok(-1):
+        return NamedSharding(mesh, P(None, None, "model"))
+    if "conv" in name and name.endswith("bias") and ok(0):
+        return NamedSharding(mesh, P("model"))
+    if name.endswith("wi") and leaf.ndim == 2 and ok(0):
+        return NamedSharding(mesh, P("model", None))
+    return NamedSharding(mesh, P())
+
+
+def shard_params(params, mesh: Mesh):
+    """Places a param tree on the 2-D mesh per the module's sharding rules."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree.structure(params)
+    placed = [jax.device_put(leaf, _rule(path, leaf, mesh))
+              for path, leaf in flat]
+    return jax.tree.unflatten(treedef, placed)
+
+
+def make_tp_train_step(cfg, model, mesh: Mesh):
+    """jit-ed train step over a ('data', 'model') mesh: batch sharded on
+    'data', params per `shard_params`; GSPMD propagates the rest. Returns
+    (train_step, shard_fn) where shard_fn places (params, opt_state)."""
+    from cpc_tpu.train.train_step import make_optimizer
+    from cpc_tpu.data.loader import device_prepare
+    from cpc_tpu.ops.infonce import infonce_loss_and_metrics
+    import optax
+
+    opt = make_optimizer(cfg)
+    loss_cfg = cfg.model.loss
+
+    def loss_fn(params, batch):
+        x = device_prepare(batch, normalize=cfg.data.normalize)
+        out = model.apply(params, x)
+        # under jit+GSPMD the loss is computed over the GLOBAL batch, which
+        # IS cross-replica negative sharing — no explicit all-gather needed.
+        return infonce_loss_and_metrics(out.preds, out.z,
+                                        negatives=loss_cfg.negatives)
+
+    def train_step(params, opt_state, batch):
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    def shard_fn(params, opt_state):
+        params = shard_params(params, mesh)
+        opt_state = jax.device_put(opt_state, NamedSharding(mesh, P()))
+        return params, opt_state
+
+    batch_sharding = NamedSharding(mesh, P("data"))
+    step = jax.jit(train_step, donate_argnums=(0, 1))
+    return step, shard_fn, batch_sharding, opt

@@ -50,6 +50,7 @@ class Trainer:
             train_dataset, cfg.data.batch_size, shuffle=cfg.data.shuffle,
             seed=cfg.train.seed, prefetch=cfg.data.prefetch,
             transfer_dtype=cfg.data.transfer_dtype,
+            num_workers=cfg.data.num_workers,
         )
         self.val_batcher = None
         if val_dataset is not None:

@@ -1,0 +1,77 @@
+"""2-D mesh (data x model) tensor-parallel tests on the virtual 8-device CPU
+mesh: sharded-parameter train step == single-device step (GSPMD collectives
+preserve the math)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cpc_tpu.config import (ArConfig, CPCConfig, DataConfig, EncoderConfig,
+                            LossConfig, ModelConfig, TrainConfig)
+from cpc_tpu.models.cpc import CPCModel
+from cpc_tpu.parallel.mesh import make_mesh
+from cpc_tpu.parallel.tp import make_tp_train_step, shard_params
+from cpc_tpu.train.train_step import init_state, make_step_fns
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def _cfg():
+    return CPCConfig(
+        model=ModelConfig(
+            encoder=EncoderConfig(channels=(16, 16), kernels=(10, 8),
+                                  strides=(5, 4), d_enc=16),
+            ar=ArConfig(d_ar=8),
+            loss=LossConfig(prediction_steps=2),
+        ),
+        data=DataConfig(batch_size=16, snippet_samples=2000),
+        train=TrainConfig(seed=0),
+    )
+
+
+def test_tp_step_matches_single_device():
+    cfg = _cfg()
+    model = CPCModel(cfg.model)
+    mesh2d = make_mesh((4, 2), ("data", "model"))
+    mesh1 = make_mesh((1,), ("data",), devices=jax.devices()[:1])
+
+    tp_step, shard_fn, batch_sharding, opt = make_tp_train_step(
+        cfg, model, mesh2d)
+    steps1 = make_step_fns(cfg, model, mesh1)
+    params, opt_state = init_state(cfg, model, opt)
+
+    rng = np.random.default_rng(0)
+    b = np.clip(rng.standard_normal(
+        (cfg.data.batch_size, cfg.data.snippet_samples)) * 8000,
+        -32768, 32767).astype(np.int16)
+    batch = jnp.asarray(b)
+
+    p1, s1, m1 = steps1.train_step(
+        jax.tree.map(jnp.copy, params), jax.tree.map(jnp.copy, opt_state),
+        batch)
+
+    tp_params, tp_opt = shard_fn(params, opt_state)
+    tp_batch = jax.device_put(b, batch_sharding)
+    p2, s2, m2 = tp_step(tp_params, tp_opt, tp_batch)
+
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]),
+                               rtol=1e-5)
+    for a, c in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a),
+                                   rtol=2e-4, atol=2e-6)
+
+
+def test_shard_params_places_on_model_axis():
+    cfg = _cfg()
+    model = CPCModel(cfg.model)
+    mesh2d = make_mesh((4, 2), ("data", "model"))
+    x = jnp.zeros((2, cfg.data.snippet_samples))
+    params = model.init(jax.random.key(0), x)
+    placed = shard_params(params, mesh2d)
+    heads = placed["params"]["prediction_heads"]["kernel"]
+    spec = heads.sharding.spec
+    assert tuple(spec) == (None, "model"), spec
+    conv0 = placed["params"]["encoder"]["conv0"]["kernel"]
+    assert tuple(conv0.sharding.spec) == (None, None, "model")

@@ -289,20 +289,12 @@ def fused_infonce(
     # interpreter, which doubles as the §5.2 parity oracle.
     interpret = interpret or jax.default_backend() != "tpu"
     if negatives != "same_step":
-        # all_steps fused kernel not implemented yet: jnp fallback.
-        from cpc_tpu.ops import infonce as ref
-        B, Tp, K, D = preds_v.shape
-        C, T, _ = z_pool.shape
-        flat = z_pool.reshape(C * T, D)
-        scores = jnp.einsum("itkd,nd->tkin", preds_v.astype(jnp.float32),
-                            flat.astype(jnp.float32))
-        t_idx = jnp.arange(Tp)[:, None, None]
-        k_idx = jnp.arange(K)[None, :, None]
-        i_idx = jnp.arange(B)[None, None, :]
-        labels = jnp.broadcast_to(
-            (shift + i_idx) * T + (t_idx + k_idx + 1), (Tp, K, B))
-        loss, acc = ref._ce_and_acc(scores, labels)
-        return loss, {"loss": loss, "acc": acc, "acc_mean": jnp.mean(acc)}
+        from cpc_tpu.ops.infonce_allsteps_pallas import fused_infonce_allsteps
+        if compute_dtype is not None:
+            preds_v = preds_v.astype(compute_dtype)
+            z_pool = z_pool.astype(compute_dtype)
+        return fused_infonce_allsteps(preds_v, z_pool, shift=shift,
+                                      interpret=interpret)
 
     B, Tp, K, D = preds_v.shape
     C, T, _ = z_pool.shape

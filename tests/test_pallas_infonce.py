@@ -123,3 +123,49 @@ def test_k_tiling_path_parity(monkeypatch):
                                np.asarray(gr[0][:, :Tp]), rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gr[1]),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_allsteps_fused_forward_parity():
+    B, T, K, D = 4, 16, 3, 8
+    preds, z = _data(B, T, K, D, seed=17)
+    l1, m1 = infonce_loss_and_metrics(preds, z, negatives="all_steps",
+                                      use_pallas=False)
+    from cpc_tpu.ops.infonce_allsteps_pallas import fused_infonce_allsteps
+    Tp = T - K
+    l2, m2 = fused_infonce_allsteps(preds[:, :Tp], z, interpret=True)
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(m2["acc"]), np.asarray(m1["acc"]),
+                               atol=1e-7)
+
+
+def test_allsteps_fused_gradient_parity():
+    B, T, K, D = 3, 12, 2, 8
+    preds, z = _data(B, T, K, D, seed=19)
+    Tp = T - K
+
+    def loss_ref(p, zz):
+        return infonce_loss_and_metrics(p, zz, negatives="all_steps")[0]
+
+    def loss_pal(p, zz):
+        from cpc_tpu.ops.infonce_allsteps_pallas import fused_infonce_allsteps
+        return fused_infonce_allsteps(p[:, :Tp], zz, interpret=True)[0]
+
+    gr = jax.grad(loss_ref, argnums=(0, 1))(preds, z)
+    gp = jax.grad(loss_pal, argnums=(0, 1))(preds, z)
+    np.testing.assert_allclose(np.asarray(gp[0][:, :Tp]),
+                               np.asarray(gr[0][:, :Tp]), rtol=1e-4,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gr[1]),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_allsteps_route_through_flag():
+    B, T, K, D = 3, 14, 2, 8
+    preds, z = _data(B, T, K, D, seed=23)
+    l1, m1 = infonce_loss_and_metrics(preds, z, negatives="all_steps",
+                                      use_pallas=False)
+    l2, m2 = infonce_loss_and_metrics(preds, z, negatives="all_steps",
+                                      use_pallas=True)
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(m2["acc"]), np.asarray(m1["acc"]),
+                               atol=1e-7)

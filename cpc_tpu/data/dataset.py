@@ -56,18 +56,27 @@ def decode(path: str) -> Tuple[np.ndarray, int]:
 
 
 class _DecodedCache:
-    """Tiny LRU of decoded mono float32 waveforms (host RAM)."""
+    """Tiny LRU of decoded mono float32 waveforms (host RAM). Files whose
+    native rate differs from `sample_rate` are resampled once at decode time
+    (windowed-sinc, same math as the on-device op in cpc_tpu.ops.dsp) so the
+    snippet index is always in target-rate samples."""
 
-    def __init__(self, max_items: int = 256):
+    def __init__(self, sample_rate: int, max_items: int = 256):
+        self.sample_rate = sample_rate
         self.max_items = max_items
         self._store: Dict[str, np.ndarray] = {}
 
     def get(self, path: str) -> np.ndarray:
         x = self._store.pop(path, None)
         if x is None:
-            audio, _ = decode(path)
+            audio, sr = decode(path)
             x = audio.mean(axis=1) if audio.shape[1] > 1 else audio[:, 0]
             x = np.ascontiguousarray(x, dtype=np.float32)
+            if sr != self.sample_rate:
+                import jax.numpy as jnp
+                from cpc_tpu.ops.dsp import resample
+                x = np.asarray(resample(jnp.asarray(x[None]), sr,
+                                        self.sample_rate))[0]
         self._store[path] = x
         while len(self._store) > self.max_items:
             self._store.pop(next(iter(self._store)))
@@ -94,7 +103,7 @@ class SnippetDataset:
         self.snippet_samples = snippet_samples
         self.snippet_stride = snippet_stride or snippet_samples
         self.sample_rate = sample_rate
-        self._cache = _DecodedCache(cache_items)
+        self._cache = _DecodedCache(sample_rate, cache_items)
 
         self.files: List[str] = []
         self._file_snippets: List[int] = []

@@ -38,15 +38,23 @@ def prepare_waveform(x: jnp.ndarray, normalize: bool = True) -> jnp.ndarray:
 
 @functools.lru_cache(maxsize=8)
 def _resample_kernel(sr_in: int, sr_out: int, width: int = 16):
-    """Polyphase windowed-sinc kernel for rational resampling. Returns
-    (h (phases, taps), up, down)."""
+    """Per-phase windowed-sinc interpolation kernels for rational resampling.
+
+    Output sample m sits at input position pos = m*down/up = n0 + p/up; the
+    phase-p kernel is the (Hann-windowed, cutoff-scaled) sinc evaluated at
+    the exact fractional offsets (q - half) - p/up for q in [0, taps).
+    Returns (h (up, taps), up, down)."""
     g = np.gcd(sr_in, sr_out)
     up, down = sr_out // g, sr_in // g
-    taps = 2 * width * max(1, down // up) + 1
+    half = width * max(1, -(-down // up))  # half-width in input samples
+    taps = 2 * half + 1
     cutoff = min(1.0, up / down)
-    n = np.arange(taps * up) - (taps * up - 1) / 2.0
-    h = cutoff * np.sinc(cutoff * n / up) * np.hanning(taps * up)
-    return (h.reshape(-1, up).T * up).astype(np.float32), up, down
+    q = np.arange(taps) - half
+    t = q[None, :] - (np.arange(up) / up)[:, None]  # (up, taps)
+    win = np.where(np.abs(t) <= half,
+                   0.5 * (1.0 + np.cos(np.pi * t / half)), 0.0)
+    h = cutoff * np.sinc(cutoff * t) * win
+    return h.astype(np.float32), up, down
 
 
 def resample(x: jnp.ndarray, sr_in: int, sr_out: int) -> jnp.ndarray:
@@ -56,13 +64,14 @@ def resample(x: jnp.ndarray, sr_in: int, sr_out: int) -> jnp.ndarray:
         return x
     h, up, down = _resample_kernel(sr_in, sr_out)
     _, taps = h.shape
+    half = taps // 2
     B, T = x.shape
-    pad = taps // 2
-    xp = jnp.pad(x, ((0, 0), (pad, pad)))
+    xp = jnp.pad(x, ((0, 0), (half, half)))
     out_len = (T * up) // down
     out_idx = jnp.arange(out_len)
-    in_pos = (out_idx * down) // up
+    in_pos = (out_idx * down) // up   # n0
     phase = (out_idx * down) % up
+    # xp[in_pos + q] == x[n0 + q - half]: exactly the kernel's q axis
     win_idx = in_pos[:, None] + jnp.arange(taps)[None, :]
     windows = xp[:, win_idx]  # (B, out_len, taps)
     kern = jnp.asarray(h)[phase]  # (out_len, taps)

@@ -111,3 +111,23 @@ def test_batcher_epoch_rollover(corpus):
         seen.append((epoch, pos))
     assert seen[:4] == [(0, 0), (0, 1), (0, 2), (0, 3)]
     assert seen[4] == (1, 0)
+
+
+def test_dataset_resamples_mismatched_rate(tmp_path):
+    # a 8 kHz file in a 16 kHz dataset: index lengths and content are in
+    # target-rate samples (decode-time windowed-sinc resample)
+    from cpc_tpu.data.wavio import write_wav
+    from cpc_tpu.data.dataset import SnippetDataset
+    sr_in, f = 8000, 440.0
+    t = np.arange(sr_in * 2) / sr_in  # 2 seconds
+    d = tmp_path / "spk" / "0"
+    d.mkdir(parents=True)
+    write_wav(str(d / "u.wav"), 0.5 * np.sin(2 * np.pi * f * t), sr_in)
+    ds = SnippetDataset(str(tmp_path), snippet_samples=16000,
+                        sample_rate=16000)
+    assert len(ds) == 2  # 2 seconds at the TARGET rate
+    snip = ds[0]
+    t16 = np.arange(16000) / 16000
+    ref = 0.5 * np.sin(2 * np.pi * f * t16)
+    err = np.abs(snip[500:-500] - ref[500:-500]).max()
+    assert err < 0.02, err

@@ -131,6 +131,12 @@ class DataConfig:
     batch_size: int = 8
     shuffle: bool = True
     normalize: bool = True  # per-snippet mean/var normalization, on device
+    # on-device augmentation (BASELINE.json:5), applied inside the jitted
+    # step from a per-step PRNG key
+    augment: bool = False
+    augment_gain_db: float = 6.0
+    augment_noise_snr_db: float = 30.0
+    augment_shift_max: int = 160
     prefetch: int = 2
     num_workers: int = 0  # host decode threads (0 = synchronous)
     transfer_dtype: str = "int16"  # host->device wire dtype; dequant on device

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -33,6 +34,41 @@ def prepare_waveform(x: jnp.ndarray, normalize: bool = True) -> jnp.ndarray:
     x = dequantize(x)
     if normalize:
         x = normalize_snippets(x)
+    return x
+
+
+def augment_waveform(
+    x: jnp.ndarray,
+    rng,
+    *,
+    gain_db: float = 6.0,
+    noise_snr_db: float = 30.0,
+    shift_max: int = 160,
+    polarity: bool = True,
+) -> jnp.ndarray:
+    """On-device waveform augmentation (BASELINE.json:5 "resample/frame/
+    augment on device"): per-snippet random gain, white noise at a random
+    SNR, circular time shift (up to one latent stride), and polarity flip.
+    Runs inside the jitted step; all randomness from the threaded PRNG key,
+    so steps stay reproducible. x: (B, S) float32."""
+    B, S = x.shape
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    gain = 10.0 ** (jax.random.uniform(k1, (B, 1), minval=-gain_db,
+                                       maxval=gain_db) / 20.0)
+    x = x * gain
+    if polarity:
+        sign = jnp.where(jax.random.bernoulli(k2, 0.5, (B, 1)), 1.0, -1.0)
+        x = x * sign
+    if shift_max > 0:
+        shift = jax.random.randint(k3, (B,), -shift_max, shift_max + 1)
+        idx = (jnp.arange(S)[None, :] + shift[:, None]) % S
+        x = jnp.take_along_axis(x, idx, axis=1)
+    if noise_snr_db < 100.0:
+        sig_pow = jnp.mean(x ** 2, axis=1, keepdims=True)
+        snr = 10.0 ** (jax.random.uniform(k4, (B, 1), minval=noise_snr_db,
+                                          maxval=noise_snr_db + 20.0) / 10.0)
+        noise = jax.random.normal(k4, (B, S)) * jnp.sqrt(sig_pow / snr)
+        x = x + noise
     return x
 
 

@@ -32,17 +32,21 @@ def dp_train_step(
     mesh: Mesh,
     axis: str = "data",
     donate: bool = True,
+    with_rng: bool = False,
 ):
-    """Wraps step_fn(params, opt_state, batch, axis_name=...) -> (params,
-    opt_state, metrics) into a jitted shard_map over `mesh`.
+    """Wraps step_fn(params, opt_state, batch[, rng], axis_name=...) ->
+    (params, opt_state, metrics) into a jitted shard_map over `mesh`.
 
     step_fn must do its own lax.pmean(grads/metrics, axis_name) — this wrapper
-    only places the computation and shards the batch.
+    only places the computation and shards the batch. With with_rng, a
+    replicated PRNG key is passed through (the step folds in axis_index for
+    per-replica randomness).
     """
+    in_specs = (P(), P(), P(axis)) + ((P(),) if with_rng else ())
     wrapped = shard_map(
         functools.partial(step_fn, axis_name=axis),
         mesh=mesh,
-        in_specs=(P(), P(), P(axis)),
+        in_specs=in_specs,
         out_specs=(P(), P(), P()),
         check_vma=False,
     )

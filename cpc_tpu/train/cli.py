@@ -31,6 +31,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--steps", type=int, default=None,
                    help="override train.num_steps")
     p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--augment", action="store_true",
+                   help="on-device waveform augmentation (gain/noise/shift/"
+                        "polarity) inside the jitted step")
     p.add_argument("--resume", action="store_true",
                    help="resume from latest checkpoint in workdir")
     p.add_argument("--seed", type=int, default=None)
@@ -54,6 +57,9 @@ def main(argv=None) -> int:
     if args.batch_size is not None:
         cfg = dataclasses.replace(
             cfg, data=dataclasses.replace(cfg.data, batch_size=args.batch_size))
+    if args.augment:
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, augment=True))
 
     if args.data in ("synthetic", "synthetic-music"):
         corpus = os.path.join(args.workdir, "synthetic_corpus")

@@ -49,9 +49,20 @@ def make_step_fns(cfg: CPCConfig, model: CPCModel, mesh=None) -> StepFns:
     opt = make_optimizer(cfg)
     loss_cfg = cfg.model.loss
     normalize = cfg.data.normalize
+    augment = cfg.data.augment
 
-    def loss_fn(params, batch, axis_name=None):
+    def loss_fn(params, batch, axis_name=None, rng=None):
         x = device_prepare(batch, normalize=normalize)
+        if augment and rng is not None:
+            from cpc_tpu.ops.dsp import augment_waveform
+            if axis_name is not None:
+                # per-replica independent augmentation randomness
+                rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+            x = augment_waveform(
+                x, rng,
+                gain_db=cfg.data.augment_gain_db,
+                noise_snr_db=cfg.data.augment_noise_snr_db,
+                shift_max=cfg.data.augment_shift_max)
         out = model.apply(params, x)
         gather_axis = axis_name if (axis_name and loss_cfg.cross_replica) else None
         loss, metrics = infonce_loss_and_metrics(
@@ -63,9 +74,9 @@ def make_step_fns(cfg: CPCConfig, model: CPCModel, mesh=None) -> StepFns:
         )
         return loss, metrics
 
-    def train_step(params, opt_state, batch, axis_name=None):
+    def train_step(params, opt_state, batch, rng=None, axis_name=None):
         (loss, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, batch, axis_name)
+            loss_fn, has_aux=True)(params, batch, axis_name, rng)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             metrics = jax.lax.pmean(metrics, axis_name)
@@ -82,11 +93,17 @@ def make_step_fns(cfg: CPCConfig, model: CPCModel, mesh=None) -> StepFns:
         return metrics
 
     if mesh is not None and mesh.size > 1:
-        train = dp_train_step(train_step, mesh, axis=mesh.axis_names[0])
+        train = dp_train_step(train_step, mesh, axis=mesh.axis_names[0],
+                              with_rng=augment)
         evals = dp_eval_step(eval_step, mesh, axis=mesh.axis_names[0])
     else:
-        train = jax.jit(functools.partial(train_step, axis_name=None),
-                        donate_argnums=(0, 1))
+        if augment:
+            train = jax.jit(functools.partial(train_step, axis_name=None),
+                            donate_argnums=(0, 1))
+        else:
+            train = jax.jit(
+                functools.partial(train_step, rng=None, axis_name=None),
+                donate_argnums=(0, 1))
         evals = jax.jit(functools.partial(eval_step, axis_name=None))
     return StepFns(train_step=train, eval_step=evals, optimizer=opt,
                    loss_fn=loss_fn)

@@ -91,11 +91,20 @@ class Trainer:
         audio_sec_per_batch = (
             self.cfg.data.batch_size * self.cfg.data.snippet_samples
             / self.cfg.data.sample_rate)
+        aug_key = (jax.random.key(cfg.seed + 0x5EED)
+                   if self.cfg.data.augment else None)
         while self.step < total:
             _, _, host_batch = next(it)
             batch = to_device(host_batch, self._sharding)
-            self.params, self.opt_state, metrics = self.steps.train_step(
-                self.params, self.opt_state, batch)
+            if aug_key is not None:
+                # per-step key keeps augmentation reproducible and
+                # resume-exact (step count is checkpointed)
+                rng = jax.random.fold_in(aug_key, self.step)
+                self.params, self.opt_state, metrics = self.steps.train_step(
+                    self.params, self.opt_state, batch, rng)
+            else:
+                self.params, self.opt_state, metrics = self.steps.train_step(
+                    self.params, self.opt_state, batch)
             self.step += 1
             steps_since_log += 1
             if self.step % cfg.log_every == 0 or self.step == total:

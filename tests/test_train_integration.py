@@ -89,3 +89,34 @@ def test_validation_runs(corpus, tmp_path):
     assert "loss" in val and "acc" in val
     assert np.asarray(val["acc"]).shape == (4,)
     tr.close()
+
+
+def test_augmented_training(corpus, tmp_path):
+    # on-device augmentation path: trains, loss decreases, and resume is
+    # still exact (per-step keys are derived from the checkpointed step)
+    import json
+    cfg = tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, augment=True))
+    ds = SnippetDataset(corpus, cfg.data.snippet_samples)
+    tr = Trainer(cfg, ds, workdir=str(tmp_path / "aug"))
+    tr.train(30)
+    tr.close()
+    with open(tmp_path / "aug" / "metrics.jsonl") as f:
+        losses = [json.loads(l)["loss"] for l in f
+                  if json.loads(l)["prefix"] == "train"]
+    assert losses[-1] < losses[0], losses
+
+    # bitwise resume with augmentation on
+    trB = Trainer(cfg, ds, workdir=str(tmp_path / "augB"))
+    trB.train(10)
+    trB.close()
+    trB2 = Trainer(cfg, ds, workdir=str(tmp_path / "augB"))
+    assert trB2.maybe_resume()
+    trB2.train(30)
+    trB2.close()
+    trA = Trainer(cfg, ds, workdir=str(tmp_path / "augA"))
+    trA.train(30)
+    trA.close()
+    for a, b in zip(jax.tree.leaves(trA.params), jax.tree.leaves(trB2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

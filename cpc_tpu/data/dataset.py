@@ -82,6 +82,19 @@ class _DecodedCache:
             self._store.pop(next(iter(self._store)))
         return x
 
+    def get_int16(self, path: str) -> np.ndarray:
+        """int16 view of the decoded waveform, quantized ONCE per file (the
+        per-batch float->int16 conversion was 60% of host assembly time)."""
+        key = (path, "i16")
+        x = self._store.pop(key, None)
+        if x is None:
+            f = self.get(path)
+            x = np.clip(np.round(f * 32768.0), -32768, 32767).astype(np.int16)
+        self._store[key] = x
+        while len(self._store) > 2 * self.max_items:
+            self._store.pop(next(iter(self._store)))
+        return x
+
 
 class SnippetDataset:
     """Flat snippet index over a corpus directory.
@@ -137,6 +150,12 @@ class SnippetDataset:
     def __getitem__(self, idx: int) -> np.ndarray:
         path, off = self.locate(idx)
         x = self._cache.get(path)
+        return x[off:off + self.snippet_samples]
+
+    def snippet_int16(self, idx: int) -> np.ndarray:
+        """Snippet in the int16 wire format (quantized once per file)."""
+        path, off = self.locate(idx)
+        x = self._cache.get_int16(path)
         return x[off:off + self.snippet_samples]
 
     def speaker_of(self, idx: int) -> str:

@@ -90,15 +90,21 @@ class Batcher:
 
     def _assemble(self, order: np.ndarray, b: int) -> np.ndarray:
         idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+        if self.transfer_dtype == "int16":
+            # int16 snippets come from a per-file quantized cache, so batch
+            # assembly is a pure int16 gather (~6x cheaper than quantizing
+            # each batch)
+            getter = self.dataset.snippet_int16
+        else:
+            getter = self.dataset.__getitem__
         if self._pool is not None:
             snips = np.stack(list(self._pool.map(
-                self.dataset.__getitem__, (int(i) for i in idxs))))
+                getter, (int(i) for i in idxs))))
         else:
-            snips = np.stack([self.dataset[int(i)] for i in idxs])
-        if self.transfer_dtype == "int16":
-            return np.clip(np.round(snips * 32768.0), -32768, 32767).astype(
-                np.int16)
-        return snips.astype(np.float32)
+            snips = np.stack([getter(int(i)) for i in idxs])
+        if self.transfer_dtype != "int16":
+            snips = snips.astype(np.float32)
+        return snips
 
     def __iter__(self) -> Iterator[tuple]:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)

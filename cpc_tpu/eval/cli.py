@@ -35,6 +35,13 @@ def main(argv=None) -> int:
     p.add_argument("--feature", default="c", choices=["c", "z"])
     p.add_argument("--steps", type=int, default=300)
     p.add_argument("--max-snippets", type=int, default=512)
+    p.add_argument("--extract", default=None, metavar="AUDIO_FILE",
+                   help="instead of probing: run the frozen model over this "
+                        "wav/flac in sliding windows and write the (z, c) "
+                        "trajectories (SURVEY.md §4.5 consumer API)")
+    p.add_argument("--out", default=None,
+                   help="output .npz for --extract (default: "
+                        "<audio>.features.npz)")
     args = p.parse_args(argv)
 
     cfg = presets.by_name(args.config)
@@ -50,6 +57,26 @@ def main(argv=None) -> int:
         step = 0
     else:
         params, _, step, _ = restored
+
+    if args.extract:
+        import numpy as np
+        from cpc_tpu.data.dataset import decode
+        from cpc_tpu.eval.features import extract_features
+        audio, sr = decode(args.extract)
+        wave = audio.mean(axis=1) if audio.shape[1] > 1 else audio[:, 0]
+        if sr != cfg.data.sample_rate:
+            import jax.numpy as jnp
+            from cpc_tpu.ops.dsp import resample
+            wave = np.asarray(resample(jnp.asarray(wave[None]), sr,
+                                       cfg.data.sample_rate))[0]
+        z, c = extract_features(model, params, wave.astype(np.float32),
+                                window=cfg.data.snippet_samples)
+        out = args.out or args.extract + ".features.npz"
+        np.savez(out, z=z, c=c)
+        print(json.dumps({"checkpoint_step": step, "extract": args.extract,
+                          "out": out, "z_shape": list(z.shape),
+                          "c_shape": list(c.shape)}))
+        return 0
 
     if args.data == "synthetic":
         corpus = os.path.join(args.workdir, "synthetic_corpus")

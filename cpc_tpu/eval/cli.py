@@ -14,8 +14,6 @@ import dataclasses
 import json
 import os
 
-import jax
-
 from cpc_tpu.config import presets
 from cpc_tpu.data.dataset import ProbeDataset
 from cpc_tpu.data.synthetic import generate_synthetic_corpus

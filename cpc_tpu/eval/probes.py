@@ -16,7 +16,7 @@ features — feature extraction is the only model-forward cost.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

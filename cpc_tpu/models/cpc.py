@@ -13,9 +13,6 @@ W_k matrices.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Optional
-
 import jax.numpy as jnp
 from flax import linen as nn
 from flax import struct

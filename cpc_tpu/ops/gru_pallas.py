@@ -24,7 +24,6 @@ tests/test_pallas_gru.py.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ communication anywhere.
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 from jax.sharding import Mesh, PartitionSpec as P

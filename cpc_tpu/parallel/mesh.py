@@ -10,7 +10,7 @@ All collectives are XLA-inserted (jit + NamedSharding) or explicit
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

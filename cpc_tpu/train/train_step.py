@@ -109,6 +109,29 @@ def make_step_fns(cfg: CPCConfig, model: CPCModel, mesh=None) -> StepFns:
                    loss_fn=loss_fn)
 
 
+def make_multi_step(cfg: CPCConfig, model: CPCModel, n_steps: int,
+                    mesh=None):
+    """N train steps chained inside ONE jit via lax.scan over pre-staged
+    batches (B_stack = (n_steps, B, S)). Amortizes per-dispatch overhead —
+    ~0.75 ms/step on tunneled hosts — at the cost of logging granularity;
+    used by bench.py and suitable for production once batches are staged
+    device-side. Metrics returned are the last step's."""
+    steps = make_step_fns(cfg, model, mesh)
+
+    def multi(params, opt_state, batches):
+        def body(carry, batch):
+            params, opt_state = carry
+            params, opt_state, metrics = steps.train_step(
+                params, opt_state, batch)
+            return (params, opt_state), metrics["loss"]
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), batches)
+        return params, opt_state, losses[-1]
+
+    return jax.jit(multi, donate_argnums=(0, 1)), steps
+
+
 def init_state(cfg: CPCConfig, model: CPCModel, optimizer,
                rng: Optional[jax.Array] = None) -> Tuple:
     """(params, opt_state) with the model traced at the configured shapes."""

@@ -120,3 +120,30 @@ def test_augmented_training(corpus, tmp_path):
     trA.close()
     for a, b in zip(jax.tree.leaves(trA.params), jax.tree.leaves(trB2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_multi_step_equals_sequential():
+    # lax.scan-chained steps == N sequential steps, exactly
+    from cpc_tpu.train.train_step import make_multi_step, make_step_fns, init_state
+    from cpc_tpu.models.cpc import CPCModel
+    from cpc_tpu.parallel.mesh import make_mesh
+    import jax.numpy as jnp
+
+    cfg = tiny_cfg()
+    model = CPCModel(cfg.model)
+    mesh1 = make_mesh((1,), ("data",), devices=jax.devices()[:1])
+    multi, steps = make_multi_step(cfg, model, 4, mesh1)
+    params, opt_state = init_state(cfg, model, steps.optimizer)
+    rng = np.random.default_rng(0)
+    stack = np.clip(rng.standard_normal(
+        (4, cfg.data.batch_size, cfg.data.snippet_samples)) * 8000,
+        -32768, 32767).astype(np.int16)
+
+    pm, sm, _ = multi(jax.tree.map(jnp.copy, params),
+                      jax.tree.map(jnp.copy, opt_state), jnp.asarray(stack))
+    ps, ss = params, opt_state
+    for i in range(4):
+        ps, ss, _ = steps.train_step(ps, ss, jnp.asarray(stack[i]))
+    for a, b in zip(jax.tree.leaves(pm), jax.tree.leaves(ps)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)

@@ -131,3 +131,42 @@ def test_dataset_resamples_mismatched_rate(tmp_path):
     ref = 0.5 * np.sin(2 * np.pi * f * t16)
     err = np.abs(snip[500:-500] - ref[500:-500]).max()
     assert err < 0.02, err
+
+
+def test_batcher_keep_remainder(corpus):
+    # drop_remainder=False pads nothing: the tail batch is smaller
+    ds = SnippetDataset(corpus, snippet_samples=16000, snippet_stride=8000)
+    # 18 snippets, batch 4 -> 4 full + 1 tail of 2
+    b = Batcher(ds, batch_size=4, seed=0, drop_remainder=False)
+    assert b.batches_per_epoch() == 5
+    it = iter(b)
+    sizes = [next(it)[2].shape[0] for _ in range(5)]
+    assert sizes == [4, 4, 4, 4, 2]
+
+
+def test_file_exactly_snippet_length(tmp_path):
+    from cpc_tpu.data.wavio import write_wav
+    d = tmp_path / "s" / "0"
+    d.mkdir(parents=True)
+    write_wav(str(d / "u.wav"), np.zeros(16000, np.float32), 16000)
+    ds = SnippetDataset(str(tmp_path), snippet_samples=16000)
+    assert len(ds) == 1
+    assert ds[0].shape == (16000,)
+
+
+def test_empty_corpus_raises(tmp_path):
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no usable audio"):
+        SnippetDataset(str(tmp_path), snippet_samples=16000)
+
+
+def test_metrics_writer_tensorboard(tmp_path):
+    # CLU/TB event files are written alongside the JSONL
+    import os
+    from cpc_tpu.train.metrics import MetricWriter
+    w = MetricWriter(str(tmp_path), use_tensorboard=True, echo=False)
+    w.write(1, {"loss": 1.5, "acc": np.array([0.1, 0.2])})
+    w.close()
+    assert os.path.exists(tmp_path / "metrics.jsonl")
+    tb = tmp_path / "tb"
+    assert tb.is_dir() and any(tb.iterdir())

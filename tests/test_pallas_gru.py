@@ -119,3 +119,14 @@ def test_unrolled_blocks_parity():
     for a, b in zip(jax.tree.leaves(gr), jax.tree.leaves(gp)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_multilayer_pallas_parity():
+    rng = np.random.default_rng(31)
+    x = jnp.asarray(rng.standard_normal((2, 12, 8)), jnp.float32)
+    ref = GRU(hidden_size=8, num_layers=2)
+    pal = GRU(hidden_size=8, num_layers=2, use_pallas=True)
+    params = ref.init(jax.random.key(0), x)
+    np.testing.assert_allclose(np.asarray(pal.apply(params, x)),
+                               np.asarray(ref.apply(params, x)),
+                               rtol=1e-6, atol=1e-6)

@@ -16,19 +16,30 @@ from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from cpc_tpu.data.wavio import read_wav
+from cpc_tpu.data.wavio import read_wav, wav_info
 
 _DECODERS: Dict[str, Callable[[str], Tuple[np.ndarray, int]]] = {
     ".wav": read_wav,
 }
 
+# Header-only (num_samples, native_rate) probes: O(1) per file, no sample
+# decode. Optional — files without one fall back to a full decode.
+_INFOS: Dict[str, Callable[[str], Tuple[int, int]]] = {
+    ".wav": wav_info,
+}
 
-def register_decoder(ext: str, fn: Callable[[str], Tuple[np.ndarray, int]]):
+
+def register_decoder(ext: str, fn: Callable[[str], Tuple[np.ndarray, int]],
+                     info_fn: Optional[Callable[[str], Tuple[int, int]]] = None):
     _DECODERS[ext.lower()] = fn
+    if info_fn is not None:
+        _INFOS[ext.lower()] = info_fn
 
 
 def _try_register_flac():
     try:
+        from cpc_tpu.data.flac import flac_info
+        _INFOS.setdefault(".flac", flac_info)  # pure Python, always works
         from cpc_tpu.data.flac import read_flac  # needs the native lib
         _DECODERS.setdefault(".flac", read_flac)
     except Exception:
@@ -64,10 +75,13 @@ class _DecodedCache:
     def __init__(self, sample_rate: int, max_items: int = 256):
         self.sample_rate = sample_rate
         self.max_items = max_items
-        self._store: Dict[str, np.ndarray] = {}
+        # Independent LRU budgets: interleaved float/int16 access must not
+        # evict the other type's entries (each is its own working set).
+        self._float: Dict[str, np.ndarray] = {}
+        self._i16: Dict[str, np.ndarray] = {}
 
     def get(self, path: str) -> np.ndarray:
-        x = self._store.pop(path, None)
+        x = self._float.pop(path, None)
         if x is None:
             audio, sr = decode(path)
             x = audio.mean(axis=1) if audio.shape[1] > 1 else audio[:, 0]
@@ -77,22 +91,21 @@ class _DecodedCache:
                 from cpc_tpu.ops.dsp import resample
                 x = np.asarray(resample(jnp.asarray(x[None]), sr,
                                         self.sample_rate))[0]
-        self._store[path] = x
-        while len(self._store) > self.max_items:
-            self._store.pop(next(iter(self._store)))
+        self._float[path] = x
+        while len(self._float) > self.max_items:
+            self._float.pop(next(iter(self._float)))
         return x
 
     def get_int16(self, path: str) -> np.ndarray:
         """int16 view of the decoded waveform, quantized ONCE per file (the
         per-batch float->int16 conversion was 60% of host assembly time)."""
-        key = (path, "i16")
-        x = self._store.pop(key, None)
+        x = self._i16.pop(path, None)
         if x is None:
             f = self.get(path)
             x = np.clip(np.round(f * 32768.0), -32768, 32767).astype(np.int16)
-        self._store[key] = x
-        while len(self._store) > 2 * self.max_items:
-            self._store.pop(next(iter(self._store)))
+        self._i16[path] = x
+        while len(self._i16) > self.max_items:
+            self._i16.pop(next(iter(self._i16)))
         return x
 
 
@@ -133,8 +146,24 @@ class SnippetDataset:
         self._cum = np.cumsum([0] + self._file_snippets)
 
     def _num_samples(self, path: str) -> int:
-        # Full decode for the count; corpora here are WAV/FLAC whose decode is
-        # cheap relative to training, and the cache keeps it warm.
+        """Target-rate sample count, from the file header when possible.
+
+        WAV headers / FLAC STREAMINFO give (frames, native_rate) in O(1), so
+        init over a LibriSpeech-scale corpus performs zero decodes; files
+        whose format lacks a header probe (or whose STREAMINFO leaves the
+        total unknown) fall back to a full decode through the cache."""
+        info = _INFOS.get(os.path.splitext(path)[1].lower())
+        if info is not None:
+            try:
+                n, sr = info(path)
+            except (ValueError, OSError):
+                n = 0
+            if n > 0:
+                if sr == self.sample_rate:
+                    return n
+                # same arithmetic as cpc_tpu.ops.dsp.resample's out_len
+                g = int(np.gcd(sr, self.sample_rate))
+                return (n * (self.sample_rate // g)) // (sr // g)
         return len(self._cache.get(path))
 
     def __len__(self) -> int:

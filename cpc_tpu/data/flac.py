@@ -52,6 +52,33 @@ def _load():
         return lib
 
 
+def flac_info(path: str) -> Tuple[int, int]:
+    """(total_samples, sample_rate) from the STREAMINFO metadata block —
+    pure Python, no native lib, no sample decode. total_samples may be 0
+    when the encoder left it unknown; callers must fall back to a decode."""
+    with open(path, "rb") as f:
+        if f.read(4) != b"fLaC":
+            raise ValueError(f"{path}: not a FLAC file")
+        while True:
+            hdr = f.read(4)
+            if len(hdr) < 4:
+                raise ValueError(f"{path}: no STREAMINFO block")
+            last = hdr[0] & 0x80
+            btype = hdr[0] & 0x7F
+            length = (hdr[1] << 16) | (hdr[2] << 8) | hdr[3]
+            if btype == 0:  # STREAMINFO
+                b = f.read(length)
+                if len(b) < 18:
+                    raise ValueError(f"{path}: truncated STREAMINFO")
+                sr = (b[10] << 12) | (b[11] << 4) | (b[12] >> 4)
+                total = ((b[13] & 0x0F) << 32) | (b[14] << 24) | \
+                    (b[15] << 16) | (b[16] << 8) | b[17]
+                return total, sr
+            f.seek(length, 1)
+            if last:
+                raise ValueError(f"{path}: no STREAMINFO block")
+
+
 def read_flac(path: str) -> Tuple[np.ndarray, int]:
     """Returns (samples (T, C) float32 in [-1, 1], sample_rate) — the same
     contract as cpc_tpu.data.wavio.read_wav."""

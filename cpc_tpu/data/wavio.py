@@ -22,6 +22,7 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
         raise ValueError(f"{path}: not a RIFF/WAVE file")
     pos = 12
     fmt = None
+    fmt_body = b""
     raw = None
     while pos + 8 <= len(data):
         cid = data[pos:pos + 4]
@@ -29,14 +30,15 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
         body = data[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif cid == b"data":
             raw = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or raw is None:
         raise ValueError(f"{path}: missing fmt/data chunk")
     audio_format, n_channels, sample_rate, _, _, bits = fmt
-    if audio_format == 0xFFFE and len(raw) > 0:  # WAVE_FORMAT_EXTENSIBLE
-        audio_format = 1  # assume PCM subformat
+    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+        audio_format = _extensible_subformat(path, fmt_body)
     if audio_format == 1:  # PCM
         if bits == 8:
             x = (raw_arr(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
@@ -66,6 +68,52 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
     else:
         x = x.reshape(-1, 1)
     return x, sample_rate
+
+
+def wav_info(path: str) -> Tuple[int, int]:
+    """(num_frames, sample_rate) from the RIFF header alone — no sample
+    decode. O(#chunks) seeks; used by the dataset's snippet-count scan so
+    init over a large corpus never decodes audio (SURVEY.md §4.4)."""
+    with open(path, "rb") as f:
+        head = f.read(12)
+        if len(head) < 12 or head[0:4] != b"RIFF" or head[8:12] != b"WAVE":
+            raise ValueError(f"{path}: not a RIFF/WAVE file")
+        n_channels = bits = None
+        data_size = None
+        sample_rate = None
+        while True:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                break
+            cid = hdr[0:4]
+            size = struct.unpack_from("<I", hdr, 4)[0]
+            if cid == b"fmt ":
+                body = f.read(size)
+                _, n_channels, sample_rate, _, _, bits = struct.unpack_from(
+                    "<HHIIHH", body, 0)
+            elif cid == b"data":
+                data_size = size
+                f.seek(size + (size & 1), 1)
+            else:
+                f.seek(size + (size & 1), 1)
+            if cid == b"fmt " and size & 1:
+                f.seek(1, 1)
+    if n_channels is None or data_size is None:
+        raise ValueError(f"{path}: missing fmt/data chunk")
+    bytes_per_frame = n_channels * max(1, bits // 8)
+    return data_size // bytes_per_frame, sample_rate
+
+
+def _extensible_subformat(path: str, fmt_body: bytes) -> int:
+    """WAVE_FORMAT_EXTENSIBLE: the real codec is the first two bytes of the
+    SubFormat GUID at offset 24 of the fmt chunk (1=PCM, 3=IEEE float)."""
+    if len(fmt_body) < 26:
+        raise ValueError(f"{path}: extensible fmt chunk too short "
+                         f"({len(fmt_body)} bytes) for a SubFormat GUID")
+    sub = struct.unpack_from("<H", fmt_body, 24)[0]
+    if sub not in (1, 3):
+        raise ValueError(f"{path}: unsupported extensible SubFormat {sub}")
+    return sub
 
 
 def raw_arr(raw: bytes, dtype) -> np.ndarray:

@@ -68,7 +68,8 @@ def main(argv=None) -> int:
             wave = np.asarray(resample(jnp.asarray(wave[None]), sr,
                                        cfg.data.sample_rate))[0]
         z, c = extract_features(model, params, wave.astype(np.float32),
-                                window=cfg.data.snippet_samples)
+                                window=cfg.data.snippet_samples,
+                                normalize=cfg.data.normalize)
         out = args.out or args.extract + ".features.npz"
         np.savez(out, z=z, c=c)
         print(json.dumps({"checkpoint_step": step, "extract": args.extract,
@@ -91,12 +92,14 @@ def main(argv=None) -> int:
     if args.probe in ("speaker", "both"):
         r = run_speaker_probe(model, params, ds, feature=args.feature,
                               steps=args.steps,
-                              max_snippets=args.max_snippets)
+                              max_snippets=args.max_snippets,
+                              normalize=cfg.data.normalize)
         results["speaker_probe"] = dataclasses.asdict(r)
     if args.probe in ("phone", "both"):
         r = run_phone_probe(model, params, ds, feature=args.feature,
                             steps=args.steps,
-                            max_snippets=args.max_snippets)
+                            max_snippets=args.max_snippets,
+                            normalize=cfg.data.normalize)
         results["phone_probe"] = dataclasses.asdict(r)
     print(json.dumps(results))
     return 0

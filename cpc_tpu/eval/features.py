@@ -13,6 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cpc_tpu.models.cpc import CPCModel
+from cpc_tpu.ops.dsp import prepare_waveform
 
 
 def extract_features(
@@ -23,11 +24,15 @@ def extract_features(
     window: int = 20_480,
     hop: Optional[int] = None,
     batch_windows: int = 32,
+    normalize: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """waveform (T,) float32 -> (z (N, d_enc), c (N, d_ar)) trajectories.
 
     Windows are jitted in fixed-size batches so one compilation serves any
-    stream length; the tail window is zero-padded and trimmed.
+    stream length; the tail window is zero-padded and trimmed. Each window
+    goes through the same prepare_waveform (dequant + per-window
+    normalization) the training step applies, matching the trained input
+    distribution.
     """
     hop = hop or window
     if hop != window:
@@ -47,7 +52,8 @@ def extract_features(
     if n_pad:
         wins = np.concatenate([wins, np.zeros((n_pad, window), np.float32)])
 
-    fwd = jax.jit(lambda p, a: model.apply(p, a))
+    fwd = jax.jit(
+        lambda p, a: model.apply(p, prepare_waveform(a, normalize=normalize)))
     zs, cs = [], []
     for i in range(0, len(wins), batch_windows):
         out = fwd(params, jnp.asarray(wins[i:i + batch_windows]))

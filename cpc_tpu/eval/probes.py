@@ -25,6 +25,7 @@ import optax
 
 from cpc_tpu.data.dataset import ProbeDataset
 from cpc_tpu.models.cpc import CPCModel
+from cpc_tpu.ops.dsp import prepare_waveform
 
 
 @dataclasses.dataclass
@@ -37,9 +38,14 @@ class LinearProbeResult:
 
 
 def _extract(model, params, snippets: np.ndarray, feature: str,
-             batch: int = 32) -> np.ndarray:
-    """snippets (N, S) -> per-frame features (N, T, d), jitted in batches."""
-    fwd = jax.jit(lambda p, a: model.apply(p, a))
+             batch: int = 32, normalize: bool = True) -> np.ndarray:
+    """snippets (N, S) -> per-frame features (N, T, d), jitted in batches.
+
+    Inputs go through the same prepare_waveform (dequant + per-snippet
+    normalization) the training step applies on device, so frozen features
+    come from the distribution the model was trained on."""
+    fwd = jax.jit(
+        lambda p, a: model.apply(p, prepare_waveform(a, normalize=normalize)))
     outs = []
     n_pad = (-len(snippets)) % batch
     padded = np.concatenate(
@@ -97,7 +103,7 @@ def _split(n: int, eval_frac: float, seed: int):
 def run_speaker_probe(
     model: CPCModel, params, dataset: ProbeDataset, *,
     feature: str = "c", max_snippets: int = 512, eval_frac: float = 0.25,
-    steps: int = 300, seed: int = 0,
+    steps: int = 300, seed: int = 0, normalize: bool = True,
 ) -> LinearProbeResult:
     """Mean-pooled utterance features -> speaker id (BASELINE.json:11)."""
     n = min(len(dataset), max_snippets)
@@ -106,7 +112,8 @@ def run_speaker_probe(
         x, spk, _ = dataset.item_with_labels(i)
         snippets.append(x)
         labels.append(spk)
-    feats = _extract(model, params, np.stack(snippets), feature)
+    feats = _extract(model, params, np.stack(snippets), feature,
+                     normalize=normalize)
     pooled = feats.mean(axis=1)  # (N, d)
     y = np.asarray(labels)
     tr, ev = _split(n, eval_frac, seed)
@@ -120,6 +127,7 @@ def run_phone_probe(
     model: CPCModel, params, dataset: ProbeDataset, *,
     feature: str = "c", max_snippets: int = 256, eval_frac: float = 0.25,
     steps: int = 300, seed: int = 0, num_phones: Optional[int] = None,
+    normalize: bool = True,
 ) -> LinearProbeResult:
     """Per-frame features -> frame-level phone labels (BASELINE.json:11).
 
@@ -136,7 +144,8 @@ def run_phone_probe(
                 "forced alignments in the same format)")
         snippets.append(x)
         frame_labels.append(phones)
-    feats = _extract(model, params, np.stack(snippets), feature)  # (N, T, d)
+    feats = _extract(model, params, np.stack(snippets), feature,
+                     normalize=normalize)  # (N, T, d)
     N, T, d = feats.shape
     ds = len(snippets[0]) // T
     # majority label per frame

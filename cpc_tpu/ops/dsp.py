@@ -52,7 +52,7 @@ def augment_waveform(
     Runs inside the jitted step; all randomness from the threaded PRNG key,
     so steps stay reproducible. x: (B, S) float32."""
     B, S = x.shape
-    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
     gain = 10.0 ** (jax.random.uniform(k1, (B, 1), minval=-gain_db,
                                        maxval=gain_db) / 20.0)
     x = x * gain
@@ -67,7 +67,7 @@ def augment_waveform(
         sig_pow = jnp.mean(x ** 2, axis=1, keepdims=True)
         snr = 10.0 ** (jax.random.uniform(k4, (B, 1), minval=noise_snr_db,
                                           maxval=noise_snr_db + 20.0) / 10.0)
-        noise = jax.random.normal(k4, (B, S)) * jnp.sqrt(sig_pow / snr)
+        noise = jax.random.normal(k5, (B, S)) * jnp.sqrt(sig_pow / snr)
         x = x + noise
     return x
 

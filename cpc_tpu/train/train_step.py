@@ -115,18 +115,36 @@ def make_multi_step(cfg: CPCConfig, model: CPCModel, n_steps: int,
     batches (B_stack = (n_steps, B, S)). Amortizes per-dispatch overhead —
     ~0.75 ms/step on tunneled hosts — at the cost of logging granularity;
     used by bench.py and suitable for production once batches are staged
-    device-side. Metrics returned are the last step's."""
-    steps = make_step_fns(cfg, model, mesh)
+    device-side. Metrics returned are the last step's.
 
-    def multi(params, opt_state, batches):
-        def body(carry, batch):
+    With cfg.data.augment, pass an `rng` key: it is split into one key per
+    step and threaded through the scan (the inner step folds in axis_index
+    for per-replica randomness under DP)."""
+    steps = make_step_fns(cfg, model, mesh)
+    augment = cfg.data.augment
+
+    def multi(params, opt_state, batches, rng=None):
+        def body(carry, inp):
             params, opt_state = carry
-            params, opt_state, metrics = steps.train_step(
-                params, opt_state, batch)
+            if augment:
+                batch, step_rng = inp
+                params, opt_state, metrics = steps.train_step(
+                    params, opt_state, batch, step_rng)
+            else:
+                params, opt_state, metrics = steps.train_step(
+                    params, opt_state, inp)
             return (params, opt_state), metrics["loss"]
 
+        if augment:
+            if rng is None:
+                raise ValueError(
+                    "cfg.data.augment=True: make_multi_step's fn needs an "
+                    "rng argument (one key, split per scanned step)")
+            xs = (batches, jax.random.split(rng, batches.shape[0]))
+        else:
+            xs = batches
         (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), batches)
+            body, (params, opt_state), xs)
         return params, opt_state, losses[-1]
 
     return jax.jit(multi, donate_argnums=(0, 1)), steps

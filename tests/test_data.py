@@ -170,3 +170,89 @@ def test_metrics_writer_tensorboard(tmp_path):
     assert os.path.exists(tmp_path / "metrics.jsonl")
     tb = tmp_path / "tb"
     assert tb.is_dir() and any(tb.iterdir())
+
+
+def test_wav_info_matches_decode(corpus):
+    from cpc_tpu.data.dataset import list_audio_files
+    from cpc_tpu.data.wavio import wav_info
+    for p in list_audio_files(corpus)[:3]:
+        n, sr = wav_info(p)
+        y, sr2 = read_wav(p)
+        assert (n, sr) == (len(y), sr2)
+
+
+def test_init_zero_decodes(tmp_path, monkeypatch):
+    """Dataset init must learn lengths from headers, not full decodes
+    (VERDICT r1 #5: a LibriSpeech-scale corpus would take minutes)."""
+    import cpc_tpu.data.dataset as dsmod
+    root = tmp_path / "many"
+    rng = np.random.default_rng(0)
+    for i in range(300):  # > cache size, so decode-based init would thrash
+        d = root / f"spk{i % 5}"
+        d.mkdir(parents=True, exist_ok=True)
+        write_wav(str(d / f"f{i}.wav"), rng.standard_normal(2500) * 0.1, 16000)
+    calls = []
+    real = dsmod.decode
+    monkeypatch.setattr(dsmod, "decode", lambda p: calls.append(p) or real(p))
+    ds = SnippetDataset(str(root), snippet_samples=2000)
+    assert calls == []
+    assert len(ds) == 300
+    _ = ds[0]  # getitem still decodes
+    assert len(calls) == 1
+
+
+def test_init_resampled_lengths_match_decode(tmp_path):
+    """Header-based counts must agree with decoded lengths when the native
+    rate differs from the target rate (resample out_len arithmetic)."""
+    rng = np.random.default_rng(1)
+    write_wav(str(tmp_path / "a.wav"), rng.standard_normal(22050) * 0.1, 22050)
+    ds = SnippetDataset(str(tmp_path), snippet_samples=4000, sample_rate=16000)
+    n_header = ds._file_snippets[0]
+    decoded = ds._cache.get(ds.files[0])
+    n_decode = 1 + (len(decoded) - 4000) // 4000
+    assert n_header == n_decode
+
+
+def test_extensible_wav_subformat(tmp_path):
+    import struct
+    sr, n = 8000, 64
+    x = np.linspace(-0.5, 0.5, n).astype(np.float32)
+
+    def write_ext(path, sub, payload, bits):
+        guid = struct.pack("<H", sub) + b"\x00\x00" + \
+            b"\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+        fmt = struct.pack("<HHIIHH", 0xFFFE, 1, sr, sr * bits // 8,
+                          bits // 8, bits) + struct.pack("<HHI", 22, bits, 4) + guid
+        with open(path, "wb") as f:
+            f.write(b"RIFF" + struct.pack("<I", 12 + 8 + len(fmt) + 8 + len(payload)) + b"WAVE")
+            f.write(b"fmt " + struct.pack("<I", len(fmt)) + fmt)
+            f.write(b"data" + struct.pack("<I", len(payload)) + payload)
+
+    pcm = np.round(x * 32767).astype("<i2").tobytes()
+    write_ext(tmp_path / "pcm.wav", 1, pcm, 16)
+    y, _ = read_wav(str(tmp_path / "pcm.wav"))
+    np.testing.assert_allclose(y[:, 0], x, atol=2e-4)
+
+    flt = x.astype("<f4").tobytes()
+    write_ext(tmp_path / "f32.wav", 3, flt, 32)
+    y, _ = read_wav(str(tmp_path / "f32.wav"))
+    np.testing.assert_allclose(y[:, 0], x, atol=1e-7)  # not garbage-as-int
+
+    write_ext(tmp_path / "alaw.wav", 6, pcm, 16)
+    with pytest.raises(ValueError, match="SubFormat"):
+        read_wav(str(tmp_path / "alaw.wav"))
+
+
+def test_cache_type_budgets_independent(corpus):
+    """Interleaved float/int16 access must not cross-evict (ADVICE r1)."""
+    from cpc_tpu.data.dataset import _DecodedCache
+    from cpc_tpu.data.dataset import list_audio_files
+    files = list_audio_files(corpus)
+    cache = _DecodedCache(16000, max_items=2)
+    a, b = files[0], files[1]
+    cache.get_int16(a)
+    assert a in cache._i16
+    for p in files[:4]:
+        cache.get(p)  # churn the float LRU well past its budget
+    assert a in cache._i16  # int16 entry survived float evictions
+    assert len(cache._float) <= 2

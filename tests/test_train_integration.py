@@ -147,3 +147,30 @@ def test_multi_step_equals_sequential():
     for a, b in zip(jax.tree.leaves(pm), jax.tree.leaves(ps)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_multi_step_with_augment(corpus):
+    # augment configs thread a per-step folded rng through the scan
+    # (ADVICE r1: this used to fail at trace time)
+    from cpc_tpu.train.train_step import make_multi_step, init_state
+    from cpc_tpu.models.cpc import CPCModel
+    from cpc_tpu.parallel.mesh import make_mesh
+    import jax.numpy as jnp
+    import pytest
+
+    cfg = tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, augment=True))
+    model = CPCModel(cfg.model)
+    mesh1 = make_mesh((1,), ("data",), devices=jax.devices()[:1])
+    multi, steps = make_multi_step(cfg, model, 3, mesh1)
+    params, opt_state = init_state(cfg, model, steps.optimizer)
+    rng = np.random.default_rng(0)
+    stack = np.clip(rng.standard_normal(
+        (3, cfg.data.batch_size, cfg.data.snippet_samples)) * 8000,
+        -32768, 32767).astype(np.int16)
+    with pytest.raises(ValueError, match="rng"):
+        multi(params, opt_state, jnp.asarray(stack))
+    p2, s2, loss = multi(params, opt_state, jnp.asarray(stack),
+                         jax.random.key(0))
+    assert np.isfinite(float(loss))

@@ -63,10 +63,16 @@ class CPCModel(nn.Module):
             name="prediction_heads",
         )
 
-    def __call__(self, x: jnp.ndarray) -> CPCOutput:
+    def _gar(self, z: jnp.ndarray, train: bool) -> jnp.ndarray:
+        if self.config.ar.kind == "transformer":
+            # dropout is live only when train=True (needs a 'dropout' rng)
+            return self.gar(z, deterministic=not train)
+        return self.gar(z)
+
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> CPCOutput:
         """x: waveform (B, T_samples) or (B, T_samples, 1)."""
-        z = self.encoder(x)  # (B, T, d_enc)
-        c = self.gar(z)      # (B, T, d_ar)
+        z = self.encoder(x)          # (B, T, d_enc)
+        c = self._gar(z, train)      # (B, T, d_ar)
         B, T, _ = c.shape
         K = self.config.loss.prediction_steps
         preds = self.heads(c).reshape(B, T, K, self.config.encoder.d_enc)
@@ -78,4 +84,4 @@ class CPCModel(nn.Module):
 
     def context(self, x: jnp.ndarray) -> jnp.ndarray:
         """Standalone context c (feature-extraction API, SURVEY.md §4.5)."""
-        return self.gar(self.encoder(x))
+        return self._gar(self.encoder(x), train=False)

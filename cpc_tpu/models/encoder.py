@@ -5,8 +5,9 @@ Reference capability (SURVEY.md §3 "Conv encoder genc", §A): 5x Conv1d,
 channels 512, kernels (10,8,4,4,4), strides (5,4,2,2,2) => 160x downsample,
 ReLU. TPU-first design notes:
   * layout is (B, T, C) so every conv lowers to an MXU-tiled convolution;
-  * norms default off (parity) but LayerNorm/GroupNorm are offered since
-    BatchNorm's cross-batch stats break pure-functional jit-friendliness;
+  * norms default off (parity); LayerNorm/GroupNorm and a stateless
+    batch-stats norm (torch-BN training-mode math, no running averages —
+    mutable state breaks pure-functional jit) are offered;
   * the fused Pallas conv pyramid (cpc_tpu.ops.conv_pallas) is a drop-in for
     the XLA path, parity-gated by tests/test_pallas_conv.py.
 """
@@ -28,6 +29,54 @@ def _activation(name: str):
         "gelu": nn.gelu,
         "tanh": jnp.tanh,
     }[name]
+
+
+class _BatchStatsNorm(nn.Module):
+    """BatchNorm over current-batch statistics, without running averages.
+
+    The reference's genc uses torch BatchNorm1d (SURVEY.md §3 "ReLU/BN").
+    Running averages are mutable state that breaks pure-functional jit, so
+    this normalizes with the live batch's mean/var over every axis but
+    channels — identical math to torch BN in training mode — with learned
+    per-channel scale/bias. Stats are computed in fp32 regardless of the
+    activation dtype; under shard_map DP they are replica-local.
+    """
+
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        red = tuple(range(x.ndim - 1))
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=red, keepdims=True)
+        var = jnp.var(x32, axis=red, keepdims=True)
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],),
+                           self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],),
+                          self.param_dtype)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return y.astype(self.dtype)
+
+
+def _norm_layer(norm: str, i: int, ch: int, dtype, param_dtype):
+    """Norm module for layer i, or None. Unknown values raise — a norm knob
+    that silently does nothing is worse than an error (VERDICT r1 #4)."""
+    if norm == "none":
+        return None
+    if norm == "layer":
+        return nn.LayerNorm(dtype=dtype, param_dtype=param_dtype,
+                            name=f"norm{i}")
+    if norm == "group":
+        return nn.GroupNorm(num_groups=min(32, ch), dtype=dtype,
+                            param_dtype=param_dtype, name=f"norm{i}")
+    if norm == "batch":
+        return _BatchStatsNorm(dtype=dtype, param_dtype=param_dtype,
+                               name=f"norm{i}")
+    raise ValueError(
+        f"unknown encoder norm {norm!r}; use none|layer|group|batch")
 
 
 class _ConvParams(nn.Module):
@@ -100,12 +149,9 @@ class ConvEncoder(nn.Module):
                 param_dtype=self.param_dtype,
                 name=f"conv{i}",
             )(x)
-            if cfg.norm == "layer":
-                x = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
-                                 name=f"norm{i}")(x)
-            elif cfg.norm == "group":
-                x = nn.GroupNorm(num_groups=min(32, ch), dtype=self.dtype,
-                                 param_dtype=self.param_dtype, name=f"norm{i}")(x)
+            norm = _norm_layer(cfg.norm, i, ch, self.dtype, self.param_dtype)
+            if norm is not None:
+                x = norm(x)
             x = act(x)
         return x
 
@@ -156,10 +202,9 @@ class ScalogramEncoder(nn.Module):
                 param_dtype=self.param_dtype,
                 name=f"conv2d_{i}",
             )(h)
-            x_norm = cfg.norm
-            if x_norm == "layer":
-                h = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
-                                 name=f"norm{i}")(h)
+            norm = _norm_layer(cfg.norm, i, ch, self.dtype, self.param_dtype)
+            if norm is not None:
+                h = norm(h)
             h = act(h)
         # collapse remaining frequency axis -> (B, time, freq'*ch) -> d_enc
         b, t, f, c = h.shape

@@ -22,18 +22,22 @@ class _Block(nn.Module):
     d_model: int
     num_heads: int
     mlp_ratio: int
+    dropout: float
     dtype: Any
     param_dtype: Any
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
         h = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype)(x)
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
-            deterministic=True,
+            dropout_rate=self.dropout,
+            deterministic=deterministic,
         )(h, h, mask=mask)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         x = x + h
         h = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype)(x)
         h = nn.Dense(self.d_model * self.mlp_ratio, dtype=self.dtype,
@@ -41,6 +45,7 @@ class _Block(nn.Module):
         h = nn.gelu(h)
         h = nn.Dense(self.d_model, dtype=self.dtype,
                      param_dtype=self.param_dtype)(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         return x + h
 
 
@@ -52,7 +57,8 @@ class CausalTransformer(nn.Module):
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, z: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
         cfg = self.config
         B, T, _ = z.shape
         if T > cfg.max_len:
@@ -64,16 +70,18 @@ class CausalTransformer(nn.Module):
             self.param_dtype,
         )
         x = x + pos[:T].astype(self.dtype)[None]
+        x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
         mask = nn.make_causal_mask(jnp.ones((B, T)), dtype=bool)
         for i in range(cfg.num_layers):
             x = _Block(
                 d_model=cfg.d_ar,
                 num_heads=cfg.num_heads,
                 mlp_ratio=cfg.mlp_ratio,
+                dropout=cfg.dropout,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"block{i}",
-            )(x, mask)
+            )(x, mask, deterministic=deterministic)
         x = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
                          name="final_norm")(x)
         return x

@@ -50,20 +50,27 @@ def make_step_fns(cfg: CPCConfig, model: CPCModel, mesh=None) -> StepFns:
     loss_cfg = cfg.model.loss
     normalize = cfg.data.normalize
     augment = cfg.data.augment
+    dropout = (cfg.model.ar.kind == "transformer"
+               and cfg.model.ar.dropout > 0.0)
 
     def loss_fn(params, batch, axis_name=None, rng=None):
         x = device_prepare(batch, normalize=normalize)
-        if augment and rng is not None:
-            from cpc_tpu.ops.dsp import augment_waveform
+        rngs, train = None, False
+        if rng is not None:
             if axis_name is not None:
-                # per-replica independent augmentation randomness
+                # per-replica independent randomness
                 rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
-            x = augment_waveform(
-                x, rng,
-                gain_db=cfg.data.augment_gain_db,
-                noise_snr_db=cfg.data.augment_noise_snr_db,
-                shift_max=cfg.data.augment_shift_max)
-        out = model.apply(params, x)
+            k_aug, k_drop = jax.random.split(rng)
+            if augment:
+                from cpc_tpu.ops.dsp import augment_waveform
+                x = augment_waveform(
+                    x, k_aug,
+                    gain_db=cfg.data.augment_gain_db,
+                    noise_snr_db=cfg.data.augment_noise_snr_db,
+                    shift_max=cfg.data.augment_shift_max)
+            if dropout:
+                rngs, train = {"dropout": k_drop}, True
+        out = model.apply(params, x, train=train, rngs=rngs)
         gather_axis = axis_name if (axis_name and loss_cfg.cross_replica) else None
         loss, metrics = infonce_loss_and_metrics(
             out.preds, out.z,
@@ -92,12 +99,13 @@ def make_step_fns(cfg: CPCConfig, model: CPCModel, mesh=None) -> StepFns:
             metrics = jax.lax.pmean(metrics, axis_name)
         return metrics
 
+    needs_rng = augment or dropout
     if mesh is not None and mesh.size > 1:
         train = dp_train_step(train_step, mesh, axis=mesh.axis_names[0],
-                              with_rng=augment)
+                              with_rng=needs_rng)
         evals = dp_eval_step(eval_step, mesh, axis=mesh.axis_names[0])
     else:
-        if augment:
+        if needs_rng:
             train = jax.jit(functools.partial(train_step, axis_name=None),
                             donate_argnums=(0, 1))
         else:
@@ -117,16 +125,17 @@ def make_multi_step(cfg: CPCConfig, model: CPCModel, n_steps: int,
     used by bench.py and suitable for production once batches are staged
     device-side. Metrics returned are the last step's.
 
-    With cfg.data.augment, pass an `rng` key: it is split into one key per
-    step and threaded through the scan (the inner step folds in axis_index
-    for per-replica randomness under DP)."""
+    With cfg.data.augment (or transformer dropout), pass an `rng` key: it is
+    split into one key per step and threaded through the scan (the inner
+    step folds in axis_index for per-replica randomness under DP)."""
     steps = make_step_fns(cfg, model, mesh)
-    augment = cfg.data.augment
+    needs_rng = cfg.data.augment or (cfg.model.ar.kind == "transformer"
+                                     and cfg.model.ar.dropout > 0.0)
 
     def multi(params, opt_state, batches, rng=None):
         def body(carry, inp):
             params, opt_state = carry
-            if augment:
+            if needs_rng:
                 batch, step_rng = inp
                 params, opt_state, metrics = steps.train_step(
                     params, opt_state, batch, step_rng)
@@ -135,11 +144,11 @@ def make_multi_step(cfg: CPCConfig, model: CPCModel, n_steps: int,
                     params, opt_state, inp)
             return (params, opt_state), metrics["loss"]
 
-        if augment:
+        if needs_rng:
             if rng is None:
                 raise ValueError(
-                    "cfg.data.augment=True: make_multi_step's fn needs an "
-                    "rng argument (one key, split per scanned step)")
+                    "this config uses per-step randomness (augment/dropout): "
+                    "pass an rng key (split per scanned step)")
             xs = (batches, jax.random.split(rng, batches.shape[0]))
         else:
             xs = batches

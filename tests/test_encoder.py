@@ -67,3 +67,57 @@ def test_scalogram_encoder_shapes():
     z = enc.apply(params, x)
     # hop=160, time strides all 1 -> same 128-latent contract as the conv path
     assert z.shape == (2, 128, 512)
+
+
+def test_norm_options_all_live():
+    """Every advertised norm value must change behavior or raise
+    (VERDICT r1 #4: 'batch' used to be a silent no-op)."""
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((4, 3200)),
+                    jnp.float32)
+    outs = {}
+    for norm in ("none", "layer", "group", "batch"):
+        cfg = EncoderConfig(channels=(32, 32), kernels=(10, 8),
+                            strides=(5, 4), d_enc=32, norm=norm)
+        enc = ConvEncoder(cfg)
+        params = enc.init(jax.random.key(0), x)
+        outs[norm] = np.asarray(enc.apply(params, x))
+        if norm != "none":
+            names = str(jax.tree_util.tree_structure(params))
+            assert "norm0" in names, f"{norm}: no norm params created"
+    for norm in ("layer", "group", "batch"):
+        assert not np.allclose(outs[norm], outs["none"]), norm
+
+    with pytest.raises(ValueError, match="unknown encoder norm"):
+        cfg = EncoderConfig(channels=(32,), kernels=(10,), strides=(5,),
+                            d_enc=32, norm="spectral")
+        ConvEncoder(cfg).init(jax.random.key(0), x)
+
+
+def test_batch_norm_normalizes_channels():
+    # after the norm (pre-activation it feeds), per-channel stats over
+    # (batch, time) are ~N(0, 1) modulo the learned identity scale/bias
+    from cpc_tpu.models.encoder import _BatchStatsNorm
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((8, 100, 16))
+                    * 5.0 + 3.0, jnp.float32)
+    m = _BatchStatsNorm()
+    params = m.init(jax.random.key(0), x)
+    y = np.asarray(m.apply(params, x))
+    np.testing.assert_allclose(y.mean(axis=(0, 1)), 0.0, atol=1e-5)
+    np.testing.assert_allclose(y.std(axis=(0, 1)), 1.0, atol=1e-3)
+
+
+def test_scalogram_encoder_norm_variants():
+    x = jnp.asarray(np.random.default_rng(2).standard_normal((2, 8000)),
+                    jnp.float32)
+    outs = {}
+    for norm in ("none", "group", "batch"):
+        cfg = EncoderConfig(kind="scalogram", d_enc=32,
+                            scalogram_channels=(8, 8),
+                            scalogram_kernels=((3, 3), (3, 3)),
+                            scalogram_freq_strides=(2, 2),
+                            scalogram_time_strides=(1, 1), norm=norm)
+        enc = ScalogramEncoder(cfg)
+        params = enc.init(jax.random.key(0), x)
+        outs[norm] = np.asarray(enc.apply(params, x))
+    assert not np.allclose(outs["group"], outs["none"])
+    assert not np.allclose(outs["batch"], outs["none"])

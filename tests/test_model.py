@@ -76,3 +76,61 @@ def test_jit_forward():
     params = model.init(jax.random.key(0), x)
     out = jax.jit(lambda p, a: model.apply(p, a))(params, x)
     assert out.preds.shape == (2, 40, 3, 32)
+
+
+def test_transformer_dropout_live():
+    """ArConfig.dropout must change behavior (VERDICT r1 #5: dead knob)."""
+    import numpy as np
+    cfg = ModelConfig(
+        encoder=EncoderConfig(channels=(16, 16), kernels=(10, 8),
+                              strides=(5, 4), d_enc=16),
+        ar=ArConfig(kind="transformer", d_ar=16, num_layers=1, num_heads=2,
+                    dropout=0.5),
+        loss=LossConfig(prediction_steps=2),
+    )
+    model = CPCModel(cfg)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 2000)),
+                    jnp.float32)
+    params = model.init(jax.random.key(0), x)
+    # deterministic by default (no rng needed), and reproducible
+    a = np.asarray(model.apply(params, x).c)
+    b = np.asarray(model.apply(params, x).c)
+    np.testing.assert_array_equal(a, b)
+    # train=True with different dropout keys gives different contexts
+    c1 = np.asarray(model.apply(params, x, train=True,
+                                rngs={"dropout": jax.random.key(1)}).c)
+    c2 = np.asarray(model.apply(params, x, train=True,
+                                rngs={"dropout": jax.random.key(2)}).c)
+    assert not np.allclose(c1, c2)
+    assert not np.allclose(c1, a)
+
+
+def test_transformer_dropout_trains():
+    # end-to-end: the step threads a dropout rng without augment enabled
+    import numpy as np
+    from cpc_tpu.config import CPCConfig, DataConfig, TrainConfig
+    from cpc_tpu.parallel.mesh import make_mesh
+    from cpc_tpu.train.train_step import init_state, make_step_fns
+    cfg = CPCConfig(
+        model=ModelConfig(
+            encoder=EncoderConfig(channels=(16, 16), kernels=(10, 8),
+                                  strides=(5, 4), d_enc=16),
+            ar=ArConfig(kind="transformer", d_ar=16, num_layers=1,
+                        num_heads=2, dropout=0.1),
+            loss=LossConfig(prediction_steps=2),
+        ),
+        data=DataConfig(batch_size=4, snippet_samples=2000),
+        train=TrainConfig(seed=0),
+    )
+    model = CPCModel(cfg.model)
+    mesh = make_mesh((1,), ("data",), devices=jax.devices()[:1])
+    steps = make_step_fns(cfg, model, mesh)
+    params, opt_state = init_state(cfg, model, steps.optimizer)
+    import numpy as np
+    batch = np.clip(np.random.default_rng(0).standard_normal(
+        (4, 2000)) * 8000, -32768, 32767).astype(np.int16)
+    for i in range(3):
+        params, opt_state, metrics = steps.train_step(
+            params, opt_state, jnp.asarray(batch),
+            jax.random.key(i))
+    assert np.isfinite(float(metrics["loss"]))

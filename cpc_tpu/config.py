@@ -108,6 +108,10 @@ class LossConfig:
     cross_replica: bool = True
     use_pallas: bool = False  # fused Pallas InfoNCE kernel on the hot path
     pallas_bf16: bool = False  # bf16 wire into the kernel (fp32 accumulate)
+    # Fold the prediction-heads matmul into the loss (ops/infonce_fused):
+    # preds never materialize outside the matmul's natural layout. Fastest
+    # same_step path; requires use_pallas and a global candidate pool <= 1024.
+    fuse_heads: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -208,7 +212,7 @@ class presets:
             model=ModelConfig(
                 ar=ArConfig(use_pallas=True),
                 loss=LossConfig(cross_replica=True, use_pallas=True,
-                                pallas_bf16=True),
+                                pallas_bf16=True, fuse_heads=True),
                 dtype="bfloat16",
             ),
             data=DataConfig(batch_size=64),
@@ -222,7 +226,8 @@ class presets:
             name="tpu_fast",
             model=ModelConfig(
                 ar=ArConfig(use_pallas=True),
-                loss=LossConfig(use_pallas=True, pallas_bf16=True),
+                loss=LossConfig(use_pallas=True, pallas_bf16=True,
+                                fuse_heads=True),
                 dtype="bfloat16",
             ),
             data=DataConfig(batch_size=64),

@@ -78,6 +78,13 @@ class CPCModel(nn.Module):
         preds = self.heads(c).reshape(B, T, K, self.config.encoder.d_enc)
         return CPCOutput(z=z, c=c, preds=preds)
 
+    def latents(self, x: jnp.ndarray, train: bool = False):
+        """(z, c) without the prediction heads — the input to the fused
+        heads+InfoNCE loss (cpc_tpu.ops.infonce_fused), which applies the
+        heads weight itself."""
+        z = self.encoder(x)
+        return z, self._gar(z, train)
+
     def encode(self, x: jnp.ndarray) -> jnp.ndarray:
         """Standalone latents z (feature-extraction API, SURVEY.md §4.5)."""
         return self.encoder(x)

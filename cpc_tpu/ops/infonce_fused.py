@@ -1,0 +1,287 @@
+"""Fully-fused heads+InfoNCE loss: c -> loss without materializing preds in
+exotic layouts (SURVEY.md §2 N2, §8.4; VERDICT r1 next-step #2b).
+
+The round-1 pipeline was: heads matmul (B,T,A)@(A,KD) -> reshape ->
+valid-window slice -> transpose to (Tp,K,B,D) -> Pallas kernel -> backward
+un-permute gather of a (T-1, K*B, D) fp32 tensor. The copies around the
+kernel (slice + 100 MB transpose fwd, 200 MB gather bwd) cost more than the
+scores themselves.
+
+This module keeps the heads matmul in XLA — where a (T*B, A)@(A, K*D)
+matmul is already MXU-optimal — but emits it TIME-MAJOR FLAT, p (T, B, K*D),
+which the kernel can consume directly:
+
+  * the K prediction blocks for target step tau are p[tau-1-k, :, kD:(k+1)D]
+    — expressible as K narrow (1, B, D) block specs with index maps
+    (clip(tau-1-k), 0, k). No transpose, no valid-window slice (the validity
+    mask already handles edge rows), no regrouping of any kind.
+  * backward writes dp as K separate (Tp+1, B, D) arrays (block index
+    min(max(tau-1-k, 0), Tp); row Tp is a dump slot for out-of-window
+    programs, and every garbage write carries zeroed delta rows or is
+    overwritten by the unique valid program later in the sequential grid).
+    XLA then folds them straight into dc = sum_k dp_k @ W_k^T and
+    dW_k = c^T @ dp_k — plain matmuls, no gathers.
+
+Semantics match cpc_tpu.ops.infonce exactly (same_step negatives,
+cross-replica shift): preds[t, k] = c[t] @ W[:, kD:(k+1)D] scores against
+z[tau = t+k+1] over the C-way candidate pool, positives at shift + b.
+
+VMEM: the score tile is (K*B, C) fp32; with the usual K=12 this supports
+C (global candidate batch) up to ~1024 per 16 MB core. Callers fall back to
+cpc_tpu.ops.infonce_pallas (K-tiled) beyond that.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cpc_tpu.ops.infonce_pallas import validity_mask
+
+_C_LIMIT = 1024  # score tile (K*B, C) fp32 must fit VMEM
+
+
+def _p_spec(K: int, B: int, D: int, T: int, k: int) -> pl.BlockSpec:
+    """(1, B, D) block of p (T, B, K*D): prediction (t = tau-1-k, head k)."""
+    def index_map(ti, shift_ref):
+        return (jnp.clip(ti + 1 - 1 - k, 0, T - 1), 0, k)
+    return pl.BlockSpec((1, B, D), index_map, memory_space=pltpu.VMEM)
+
+
+def _rows(K: int, B: int):
+    rows = jax.lax.broadcasted_iota(jnp.int32, (K * B, 1), 0)[:, 0]
+    return rows // B, rows % B  # (k_of_row, i_of_row)
+
+
+def _fwd_kernel(shift_ref, *refs, K: int, B: int, C: int):
+    p_refs, z_ref = refs[:K], refs[K]
+    nll_ref, cor_ref = refs[K + 1], refs[K + 2]
+
+    z = z_ref[0]
+    p_eff = jnp.concatenate([p_refs[k][0] for k in range(K)], axis=0)
+    s = jax.lax.dot_general(
+        p_eff, z, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (K*B, C)
+
+    _, i_of_row = _rows(K, B)
+    labels = shift_ref[0] + i_of_row
+    m = jnp.max(s, axis=-1, keepdims=True)
+    lse = m[:, 0] + jnp.log(jnp.sum(jnp.exp(s - m), axis=-1))
+    cols = jax.lax.broadcasted_iota(jnp.int32, (K * B, C), 1)
+    s_lab = jnp.sum(jnp.where(cols == labels[:, None], s, 0.0), axis=-1)
+    nll_ref[0, 0, :] = lse - s_lab
+    cor_ref[0, 0, :] = (jnp.argmax(s, axis=-1) == labels).astype(jnp.float32)
+
+
+def _bwd_kernel(shift_ref, *refs, K: int, B: int, C: int, Tp: int):
+    g_ref = refs[0]
+    p_refs, z_ref = refs[1:K + 1], refs[K + 1]
+    dz_ref = refs[K + 2]
+    dp_refs = refs[K + 3:]
+    tau = pl.program_id(0) + 1
+
+    z = z_ref[0]
+    p_eff = jnp.concatenate([p_refs[k][0] for k in range(K)], axis=0)
+    s = jax.lax.dot_general(
+        p_eff, z, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    k_of_row, i_of_row = _rows(K, B)
+    labels = shift_ref[0] + i_of_row
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    soft = e / jnp.sum(e, axis=-1, keepdims=True)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (K * B, C), 1)
+    delta = soft - (cols == labels[:, None]).astype(jnp.float32)
+    t_of_row = tau - 1 - k_of_row
+    valid = jnp.logical_and(t_of_row >= 0, t_of_row < Tp).astype(jnp.float32)
+    delta = delta * (g_ref[0, 0, :] * valid)[:, None]
+
+    dz_ref[0] = jax.lax.dot_general(  # (C, K*B) x (K*B, D)
+        delta, p_eff.astype(jnp.float32),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dz_ref.dtype)
+
+    dp = jax.lax.dot_general(  # (K*B, C) x (C, D)
+        delta, z.astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    for k in range(K):
+        dp_refs[k][0] = dp[k * B:(k + 1) * B].astype(dp_refs[k].dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _heads_nll(c_tm, z_tm, W, shift, K: int, interpret: bool):
+    """c_tm (T, B, A), z_tm (T, C, D), W (A, K*D), shift () int32 ->
+    (nll (T-1, K*B) fp32, correct (T-1, K*B) fp32). Edge rows are garbage —
+    reduce with validity_mask."""
+    out, _ = _fwd_rule(c_tm, z_tm, W, shift, K, interpret)
+    return out
+
+
+def _pallas_fwd(p, z_tm, shift, K, interpret):
+    T, B, KD = p.shape
+    D = KD // K
+    _, C, _ = z_tm.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T - 1,),
+        in_specs=[
+            *[_p_spec(K, B, D, T, k) for k in range(K)],
+            pl.BlockSpec((1, C, D), lambda ti, s: (ti + 1, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, K * B), lambda ti, s: (ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, K * B), lambda ti, s: (ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    nll3, cor3 = pl.pallas_call(
+        functools.partial(_fwd_kernel, K=K, B=B, C=C),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((T - 1, 1, K * B), jnp.float32),
+            jax.ShapeDtypeStruct((T - 1, 1, K * B), jnp.float32),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (T - 1) * K * B * C * D,
+            bytes_accessed=2 * (T - 1) * (K * B * D + C * D + 4 * K * B),
+            transcendentals=(T - 1) * K * B * C,
+        ),
+    )(jnp.asarray([shift], jnp.int32), *([p] * K), z_tm)
+    return nll3[:, 0, :], cor3[:, 0, :]
+
+
+def _fwd_rule(c_tm, z_tm, W, shift, K, interpret):
+    T, B, A = c_tm.shape
+    KD = W.shape[-1]
+    p = (c_tm.reshape(T * B, A) @ W).reshape(T, B, KD)
+    out = _pallas_fwd(p, z_tm, shift, K, interpret)
+    return out, (c_tm, z_tm, W, p, shift)
+
+
+def _bwd_rule(K, interpret, res, cots):
+    c_tm, z_tm, W, p, shift = res
+    g_nll, _g_cor = cots  # accuracy is argmax: non-differentiable
+    T, B, A = c_tm.shape
+    _, C, D = z_tm.shape
+    Tp = T - K
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T - 1,),
+        in_specs=[
+            pl.BlockSpec((1, 1, K * B), lambda ti, s: (ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+            *[_p_spec(K, B, D, T, k) for k in range(K)],
+            pl.BlockSpec((1, C, D), lambda ti, s: (ti + 1, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, C, D), lambda ti, s: (ti + 1, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # dp_k row tau-1-k; <0 clamps to 0 (the unique valid program for
+            # row 0 runs LAST in the ascending sequential grid and wins);
+            # >= Tp dumps to the sliced-off row Tp (its delta rows are zero).
+            *[pl.BlockSpec(
+                (1, B, D),
+                (lambda k: lambda ti, s: (
+                    jnp.clip(ti - k, 0, Tp), 0, 0))(k),
+                memory_space=pltpu.VMEM) for k in range(K)],
+        ],
+    )
+    wire = p.dtype
+    dz, *dps = pl.pallas_call(
+        functools.partial(_bwd_kernel, K=K, B=B, C=C, Tp=Tp),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((T, C, D), jnp.float32),
+            *[jax.ShapeDtypeStruct((Tp + 1, B, D), wire) for _ in range(K)],
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=6 * (T - 1) * K * B * C * D,
+            bytes_accessed=2 * (T - 1) * (2 * K * B * D + 2 * C * D),
+            transcendentals=(T - 1) * K * B * C,
+        ),
+    )(jnp.asarray([shift], jnp.int32),
+      g_nll.astype(jnp.float32).reshape(T - 1, 1, K * B),
+      *([p] * K), z_tm)
+    # tau = 0 is never a target: its dz block is unwritten garbage.
+    dz = dz.at[0].set(0.0).astype(z_tm.dtype)
+
+    c_v = c_tm[:Tp].reshape(Tp * B, A)
+    dc_v = jnp.zeros((Tp * B, A), jnp.float32)
+    dW_cols = []
+    for k in range(K):
+        dp_k = dps[k][:Tp].reshape(Tp * B, D)
+        W_k = W[:, k * D:(k + 1) * D]
+        dc_v = dc_v + jax.lax.dot_general(
+            dp_k, W_k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dW_cols.append(jax.lax.dot_general(
+            c_v, dp_k, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    dc = jnp.zeros((T, B, A), c_tm.dtype).at[:Tp].set(
+        dc_v.reshape(Tp, B, A).astype(c_tm.dtype))
+    dW = jnp.concatenate(dW_cols, axis=1).astype(W.dtype)
+    return dc, dz, dW, None
+
+
+_heads_nll.defvjp(_fwd_rule, _bwd_rule)
+
+
+def fused_heads_infonce(
+    c: jnp.ndarray,      # (B, T, A) context (gar output)
+    z: jnp.ndarray,      # (B, T, D) encoder latents
+    W: jnp.ndarray,      # (A, K*D) fused prediction-heads weight
+    *,
+    num_steps: int,
+    axis_name=None,
+    compute_dtype=None,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, dict]:
+    """Loss + per-k accuracy straight from (c, z, W) — same semantics as
+    infonce_loss_and_metrics(preds=heads(c), z, negatives='same_step',
+    axis_name=...), but preds never exists in HBM in any layout other than
+    the heads matmul's natural output."""
+    interpret = interpret or jax.default_backend() != "tpu"
+    B, T, A = c.shape
+    D = z.shape[-1]
+    K = num_steps
+    Tp = T - K
+    if Tp <= 0:
+        raise ValueError(
+            f"sequence of {T} latents is too short for K={K} offsets")
+    if compute_dtype is not None:
+        c = c.astype(compute_dtype)
+        z = z.astype(compute_dtype)
+        W = W.astype(compute_dtype)
+    c_tm = c.transpose(1, 0, 2)  # (T, B, A) — 4 MB, cheap
+    z_loc = z.transpose(1, 0, 2)  # (T, B, D)
+    if axis_name is not None:
+        # tiled gather along the candidate axis: (T, R*B, D), no re-layout
+        z_tm = jax.lax.all_gather(z_loc, axis_name, axis=1, tiled=True)
+        shift = jax.lax.axis_index(axis_name) * B
+    else:
+        z_tm, shift = z_loc, 0
+    C = z_tm.shape[1]
+    if C > _C_LIMIT and not interpret:
+        raise ValueError(
+            f"global candidate pool C={C} exceeds the (K*B, C) fp32 VMEM "
+            f"tile budget ({_C_LIMIT}); use loss.fuse_heads=False (the "
+            f"K-tiled cpc_tpu.ops.infonce_pallas path) for this config")
+    nll, correct = _heads_nll(c_tm, z_tm, W,
+                              jnp.asarray(shift, jnp.int32), K, interpret)
+    mask = validity_mask(T, K, B, Tp)
+    denom = Tp * B
+    loss = jnp.sum(nll * mask) / (denom * K)
+    acc = jnp.sum((correct * mask).reshape(T - 1, K, B), axis=(0, 2)) / denom
+    return loss, {"loss": loss, "acc": acc, "acc_mean": jnp.mean(acc)}

@@ -20,6 +20,7 @@ from cpc_tpu.config import CPCConfig
 from cpc_tpu.data.loader import device_prepare
 from cpc_tpu.models.cpc import CPCModel
 from cpc_tpu.ops.infonce import infonce_loss_and_metrics
+from cpc_tpu.ops.infonce_fused import fused_heads_infonce
 from cpc_tpu.parallel.dp import dp_eval_step, dp_train_step
 
 
@@ -70,8 +71,19 @@ def make_step_fns(cfg: CPCConfig, model: CPCModel, mesh=None) -> StepFns:
                     shift_max=cfg.data.augment_shift_max)
             if dropout:
                 rngs, train = {"dropout": k_drop}, True
-        out = model.apply(params, x, train=train, rngs=rngs)
         gather_axis = axis_name if (axis_name and loss_cfg.cross_replica) else None
+        if (loss_cfg.use_pallas and loss_cfg.fuse_heads
+                and loss_cfg.negatives == "same_step"):
+            # fused heads+InfoNCE: preds never materialize (ops/infonce_fused)
+            z, c = model.apply(params, x, train=train, rngs=rngs,
+                               method=CPCModel.latents)
+            W = params["params"]["prediction_heads"]["kernel"]
+            kdtype = jnp.bfloat16 if loss_cfg.pallas_bf16 else jnp.float32
+            loss, metrics = fused_heads_infonce(
+                c, z, W, num_steps=loss_cfg.prediction_steps,
+                axis_name=gather_axis, compute_dtype=kdtype)
+            return loss, metrics
+        out = model.apply(params, x, train=train, rngs=rngs)
         loss, metrics = infonce_loss_and_metrics(
             out.preds, out.z,
             negatives=loss_cfg.negatives,

@@ -41,9 +41,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from cpc_tpu.ops.infonce_pallas import validity_mask
-
 _C_LIMIT = 1024  # score tile (K*B, C) fp32 must fit VMEM
+
+
+def validity_mask_tm(T: int, K: int, B: int, Tp: int) -> jnp.ndarray:
+    """(T, K*B) fp32 mask for the kernel's tau-indexed flat output."""
+    tau = jnp.arange(T)[:, None]
+    rows = jnp.arange(K * B)[None, :]
+    t = tau - 1 - rows // B
+    return jnp.logical_and(t >= 0, t < Tp).astype(jnp.float32)
 
 
 def _p_spec(K: int, B: int, D: int, T: int, k: int) -> pl.BlockSpec:
@@ -58,24 +64,31 @@ def _rows(K: int, B: int):
     return rows // B, rows % B  # (k_of_row, i_of_row)
 
 
-def _fwd_kernel(shift_ref, *refs, K: int, B: int, C: int):
-    p_refs, z_ref = refs[:K], refs[K]
-    nll_ref, cor_ref = refs[K + 1], refs[K + 2]
-
-    z = z_ref[0]
-    p_eff = jnp.concatenate([p_refs[k][0] for k in range(K)], axis=0)
-    s = jax.lax.dot_general(
-        p_eff, z, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)  # (K*B, C)
+def _fwd_kernel(shift_ref, *refs, K: int, B: int, C: int, G: int):
+    """G target steps per program (amortizes the ~3 us/program Mosaic cost):
+    program i handles tau = G*i + g for g in [0, G). The (g, k) prediction
+    block p[tau-1-k, :, kD:(k+1)D] arrives in ref g*K + k; tau = 0 rows are
+    edge garbage the caller masks."""
+    p_refs = refs[:G * K]
+    z_ref = refs[G * K]
+    nll_ref, cor_ref = refs[G * K + 1], refs[G * K + 2]
 
     _, i_of_row = _rows(K, B)
     labels = shift_ref[0] + i_of_row
-    m = jnp.max(s, axis=-1, keepdims=True)
-    lse = m[:, 0] + jnp.log(jnp.sum(jnp.exp(s - m), axis=-1))
     cols = jax.lax.broadcasted_iota(jnp.int32, (K * B, C), 1)
-    s_lab = jnp.sum(jnp.where(cols == labels[:, None], s, 0.0), axis=-1)
-    nll_ref[0, 0, :] = lse - s_lab
-    cor_ref[0, 0, :] = (jnp.argmax(s, axis=-1) == labels).astype(jnp.float32)
+    for g in range(G):
+        z = z_ref[g]
+        p_eff = jnp.concatenate(
+            [p_refs[g * K + k][0] for k in range(K)], axis=0)
+        s = jax.lax.dot_general(
+            p_eff, z, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (K*B, C)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        lse = m[:, 0] + jnp.log(jnp.sum(jnp.exp(s - m), axis=-1))
+        s_lab = jnp.sum(jnp.where(cols == labels[:, None], s, 0.0), axis=-1)
+        nll_ref[g, 0, :] = lse - s_lab
+        cor_ref[g, 0, :] = (jnp.argmax(s, axis=-1) == labels
+                            ).astype(jnp.float32)
 
 
 def _bwd_kernel(shift_ref, *refs, K: int, B: int, C: int, Tp: int):
@@ -124,39 +137,63 @@ def _heads_nll(c_tm, z_tm, W, shift, K: int, interpret: bool):
     return out
 
 
+def _choose_g(T: int, K: int, B: int, C: int, D: int, itemsize: int) -> int:
+    """Largest G in {8, 4, 2, 1} dividing T whose double-buffered tile fits
+    the VMEM budget."""
+    budget = 9 * 1024 * 1024
+    for g in (8, 4, 2, 1):
+        if T % g:
+            continue
+        est = (2 * g * K * B * D * itemsize      # p blocks, double-buffered
+               + 2 * g * C * D * itemsize        # z tile
+               + 4 * K * B * C * 4               # score temporaries
+               + 2 * g * K * B * 4 * 2)          # out blocks
+        if est <= budget:
+            return g
+    return 1
+
+
 def _pallas_fwd(p, z_tm, shift, K, interpret):
     T, B, KD = p.shape
     D = KD // K
     _, C, _ = z_tm.shape
+    G = _choose_g(T, K, B, C, D, p.dtype.itemsize)
+
+    def p_map(g, k):
+        def index_map(ti, shift_ref):
+            return (jnp.clip(ti * G + g - 1 - k, 0, T - 1), 0, k)
+        return index_map
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(T - 1,),
+        grid=(T // G,),
         in_specs=[
-            *[_p_spec(K, B, D, T, k) for k in range(K)],
-            pl.BlockSpec((1, C, D), lambda ti, s: (ti + 1, 0, 0),
+            *[pl.BlockSpec((1, B, D), p_map(g, k), memory_space=pltpu.VMEM)
+              for g in range(G) for k in range(K)],
+            pl.BlockSpec((G, C, D), lambda ti, s: (ti, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, K * B), lambda ti, s: (ti, 0, 0),
+            pl.BlockSpec((G, 1, K * B), lambda ti, s: (ti, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, K * B), lambda ti, s: (ti, 0, 0),
+            pl.BlockSpec((G, 1, K * B), lambda ti, s: (ti, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
     nll3, cor3 = pl.pallas_call(
-        functools.partial(_fwd_kernel, K=K, B=B, C=C),
+        functools.partial(_fwd_kernel, K=K, B=B, C=C, G=G),
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((T - 1, 1, K * B), jnp.float32),
-            jax.ShapeDtypeStruct((T - 1, 1, K * B), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1, K * B), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1, K * B), jnp.float32),
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * (T - 1) * K * B * C * D,
-            bytes_accessed=2 * (T - 1) * (K * B * D + C * D + 4 * K * B),
-            transcendentals=(T - 1) * K * B * C,
+            flops=2 * T * K * B * C * D,
+            bytes_accessed=2 * T * (K * B * D + C * D + 4 * K * B),
+            transcendentals=T * K * B * C,
         ),
-    )(jnp.asarray([shift], jnp.int32), *([p] * K), z_tm)
+    )(jnp.asarray([shift], jnp.int32), *([p] * (G * K)), z_tm)
     return nll3[:, 0, :], cor3[:, 0, :]
 
 
@@ -178,7 +215,7 @@ def _bwd_rule(K, interpret, res, cots):
         num_scalar_prefetch=1,
         grid=(T - 1,),
         in_specs=[
-            pl.BlockSpec((1, 1, K * B), lambda ti, s: (ti, 0, 0),
+            pl.BlockSpec((1, 1, K * B), lambda ti, s: (ti + 1, 0, 0),
                          memory_space=pltpu.VMEM),
             *[_p_spec(K, B, D, T, k) for k in range(K)],
             pl.BlockSpec((1, C, D), lambda ti, s: (ti + 1, 0, 0),
@@ -212,7 +249,7 @@ def _bwd_rule(K, interpret, res, cots):
             transcendentals=(T - 1) * K * B * C,
         ),
     )(jnp.asarray([shift], jnp.int32),
-      g_nll.astype(jnp.float32).reshape(T - 1, 1, K * B),
+      g_nll.astype(jnp.float32).reshape(T, 1, K * B),
       *([p] * K), z_tm)
     # tau = 0 is never a target: its dz block is unwritten garbage.
     dz = dz.at[0].set(0.0).astype(z_tm.dtype)
@@ -280,8 +317,8 @@ def fused_heads_infonce(
             f"K-tiled cpc_tpu.ops.infonce_pallas path) for this config")
     nll, correct = _heads_nll(c_tm, z_tm, W,
                               jnp.asarray(shift, jnp.int32), K, interpret)
-    mask = validity_mask(T, K, B, Tp)
+    mask = validity_mask_tm(T, K, B, Tp)
     denom = Tp * B
     loss = jnp.sum(nll * mask) / (denom * K)
-    acc = jnp.sum((correct * mask).reshape(T - 1, K, B), axis=(0, 2)) / denom
+    acc = jnp.sum((correct * mask).reshape(T, K, B), axis=(0, 2)) / denom
     return loss, {"loss": loss, "acc": acc, "acc_mean": jnp.mean(acc)}

@@ -76,3 +76,83 @@ def test_corrupt_file_raises(tmp_path):
     p.write_bytes(b"fLaC" + b"\x00" * 64)
     with pytest.raises(ValueError, match="FLAC decode failed"):
         read_flac(str(p))
+
+
+# ---- round-2 branch-coverage matrix (VERDICT r1 #3): LPC, RICE2,
+# partitions, escapes, wasted bits, right/side, every FIXED order --------
+
+def _roundtrip_exact(tmp_path, name, sig, **kw):
+    """Integer-exact round trip: FLAC is lossless, so the decoded PCM must
+    equal the quantized input bit for bit."""
+    bps = kw.get("bits_per_sample", 16)
+    p = str(tmp_path / f"{name}.flac")
+    write_flac(p, sig, 16_000, **kw)
+    y, sr = read_flac(p)
+    assert sr == 16_000
+    ref = sig if sig.ndim == 2 else sig[:, None]
+    scale = (1 << (bps - 1)) - 1
+    # identical float32 arithmetic to write_flac's quantizer
+    want = np.clip(np.round(ref.astype(np.float32) * scale),
+                   -scale - 1, scale).astype(np.int64)
+    got = np.round(y.astype(np.float64) * (1 << (bps - 1))).astype(np.int64)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("subframe", ["fixed3", "fixed4", "lpc1", "lpc2",
+                                      "lpc8", "lpc12"])
+def test_fixed_hi_and_lpc_subframes(tmp_path, subframe):
+    _roundtrip_exact(tmp_path, subframe, _sig(n=6000), subframe=subframe)
+
+
+@pytest.mark.parametrize("method", ["rice", "rice2"])
+@pytest.mark.parametrize("porder", [0, 2, 4])
+def test_residual_methods_and_partitions(tmp_path, method, porder):
+    _roundtrip_exact(tmp_path, f"{method}_{porder}", _sig(n=8192),
+                     subframe="lpc4", residual_method=method,
+                     partition_order=porder, block_size=4096)
+
+
+def test_escape_partitions(tmp_path):
+    _roundtrip_exact(tmp_path, "escape", _sig(n=4096), subframe="fixed2",
+                     partition_order=3, escape_partitions=True,
+                     residual_method="rice2", block_size=4096)
+
+
+def test_wasted_bits(tmp_path):
+    # samples with 4 guaranteed trailing zero bits exercise the wasted-bits
+    # subframe header and the post-reconstruction shift
+    rng = np.random.default_rng(3)
+    pcm = (rng.integers(-1800, 1800, size=5000) << 4).astype(np.int64)
+    sig = (pcm / 32767.0).astype(np.float32)
+    _roundtrip_exact(tmp_path, "wasted", sig, subframe="lpc4",
+                     wasted_bits=True)
+
+
+@pytest.mark.parametrize("mode", ["independent", "left_side", "right_side",
+                                  "mid_side"])
+@pytest.mark.parametrize("subframe", ["fixed2", "lpc4"])
+def test_stereo_decorrelation_matrix(tmp_path, mode, subframe):
+    _roundtrip_exact(tmp_path, f"{mode}_{subframe}", _sig(n=5000, ch=2),
+                     stereo_mode=mode, subframe=subframe)
+
+
+@pytest.mark.parametrize("bps", [8, 16, 24])
+@pytest.mark.parametrize("mode", ["left_side", "mid_side"])
+def test_stereo_bit_depth_matrix(tmp_path, bps, mode):
+    _roundtrip_exact(tmp_path, f"{mode}_{bps}", _sig(n=3000, ch=2),
+                     bits_per_sample=bps, stereo_mode=mode, subframe="lpc2",
+                     residual_method="rice2", partition_order=1,
+                     block_size=1024)
+
+
+def test_lpc_compresses_tonal_audio(tmp_path):
+    # sanity: LPC on a near-tonal signal should beat VERBATIM by a wide
+    # margin (the residual entropy collapses once the predictor locks on)
+    import os
+    t = np.arange(16384) / 16_000
+    rng = np.random.default_rng(0)
+    sig = (0.5 * np.sin(2 * np.pi * 440 * t)
+           + 0.002 * rng.standard_normal(16384)).astype(np.float32)
+    pv = str(tmp_path / "v.flac"); write_flac(pv, sig, 16_000, subframe="verbatim")
+    pl = str(tmp_path / "l.flac"); write_flac(pl, sig, 16_000, subframe="lpc8")
+    assert os.path.getsize(pl) < 0.7 * os.path.getsize(pv)

@@ -2,7 +2,18 @@
 audio in sliding windows and return (z, c) trajectories.
 
 This is the Immersions-style consumer API: z and c exposed standalone,
-outside the loss (SURVEY.md §1 [B:5])."""
+outside the loss (SURVEY.md §1 [B:5]).
+
+Overlapping windows (hop < window) stitch a single continuous trajectory:
+every window contributes the latents of its final `hop` samples (the first
+window contributes everything), so each latent appears exactly once and the
+gar context entering each kept segment is warmed by the `window - hop`
+overlap. Two caveats inherent to windowing, documented rather than hidden:
+latents within the conv stack's receptive field (~465 samples ≈ 3 latents)
+of a window's right edge see the window boundary instead of the true future
+samples, and c is conditioned on at most `window` samples of history rather
+than the full stream.
+"""
 
 from __future__ import annotations
 
@@ -32,13 +43,13 @@ def extract_features(
     stream length; the tail window is zero-padded and trimmed. Each window
     goes through the same prepare_waveform (dequant + per-window
     normalization) the training step applies, matching the trained input
-    distribution.
+    distribution. With hop < window, consecutive windows overlap and only
+    the non-overlapping suffix of each window's latents is kept (see module
+    docstring for the stitching contract).
     """
-    hop = hop or window
-    if hop != window:
-        raise NotImplementedError(
-            "overlapping windows would double-count latents in the "
-            "concatenated trajectory; use hop == window")
+    hop = window if hop is None else hop
+    if not 0 < hop <= window:
+        raise ValueError(f"need 0 < hop <= window, got hop={hop}")
     T = len(waveform)
     n_win = max(1, 1 + (max(T - window, 0) + hop - 1) // hop)
     pad_len = (n_win - 1) * hop + window
@@ -59,9 +70,25 @@ def extract_features(
         out = fwd(params, jnp.asarray(wins[i:i + batch_windows]))
         zs.append(np.asarray(out.z, np.float32))
         cs.append(np.asarray(out.c, np.float32))
-    z = np.concatenate(zs)[:n_win].reshape(-1, zs[0].shape[-1])
-    c = np.concatenate(cs)[:n_win].reshape(-1, cs[0].shape[-1])
+    z_w = np.concatenate(zs)[:n_win]  # (n_win, T_lat, d_enc)
+    c_w = np.concatenate(cs)[:n_win]
+    t_lat = z_w.shape[1]
+    ds = window // t_lat  # samples per latent (160x contract)
+
+    if hop == window:
+        z = z_w.reshape(-1, z_w.shape[-1])
+        c = c_w.reshape(-1, c_w.shape[-1])
+    else:
+        if hop % ds or window % ds:
+            raise ValueError(
+                f"hop and window must be multiples of the {ds}x downsample "
+                f"factor for seamless stitching (got hop={hop}, "
+                f"window={window})")
+        keep = hop // ds          # latents each overlapped window contributes
+        lead = t_lat - keep       # warm-context latents to drop
+        z = np.concatenate([z_w[0], z_w[1:, lead:].reshape(-1, z_w.shape[-1])])
+        c = np.concatenate([c_w[0], c_w[1:, lead:].reshape(-1, c_w.shape[-1])])
+
     # trim latents that came from the zero-padded tail
-    ds = window // zs[0].shape[1]  # samples per latent (160x contract)
     n_valid = T // ds
     return z[:n_valid], c[:n_valid]

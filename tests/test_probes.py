@@ -59,3 +59,45 @@ def test_feature_extraction_trajectories(setup):
     # 40x downsample for this tiny encoder: 25000 // 40 = 625 latents
     assert z.shape == (625, 64)
     assert c.shape == (625, 32)
+
+
+def test_overlapping_window_extraction(setup):
+    """hop < window (SURVEY.md §4.5; VERDICT r1 #9): seamless stitching —
+    one latent per downsample stride, and the kept z latents equal the
+    full-length forward except within the conv receptive field of each
+    window's right edge."""
+    model, params, _ = setup
+    ds = 40  # this tiny encoder's downsample factor
+    T = 24_000
+    wav = np.random.default_rng(1).standard_normal(T).astype(np.float32)
+    window, hop = 8000, 4000
+
+    z, c = extract_features(model, params, wav, window=window, hop=hop,
+                            batch_windows=4, normalize=False)
+    assert z.shape == (T // ds, 64) and c.shape == (T // ds, 32)
+
+    # full-length forward as ground truth (normalize=False so windowed and
+    # full-stream preprocessing are identical)
+    import jax.numpy as jnp
+    out = model.apply(params, jnp.asarray(wav[None]))
+    z_full = np.asarray(out.z[0], np.float32)
+
+    # exclude the receptive-field margin at each kept segment's right edge
+    margin = 4  # latents; conv RF here is < 4 * 40 samples
+    keep = hop // ds
+    seg_ends = [window // ds] + [window // ds + i * keep
+                                 for i in range(1, (T - window) // hop + 1)]
+    interior = np.ones(T // ds, bool)
+    for e in seg_ends:
+        interior[max(0, e - margin):e] = False
+    np.testing.assert_allclose(z[interior], z_full[:T // ds][interior],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_overlapping_window_validation(setup):
+    model, params, _ = setup
+    wav = np.zeros(10_000, np.float32)
+    with pytest.raises(ValueError, match="hop"):
+        extract_features(model, params, wav, window=8000, hop=0)
+    with pytest.raises(ValueError, match="downsample"):
+        extract_features(model, params, wav, window=8000, hop=4001)

@@ -139,12 +139,14 @@ class Batcher:
                 yield epoch, pos, batch
         finally:
             stop.set()
-            # drain so the producer can exit its q.put
-            try:
-                while True:
+            # drain so the producer can exit its q.put. Broad except: this
+            # also runs at interpreter shutdown via generator GC, where
+            # module globals (queue.Empty) may already be torn down.
+            while not q.empty():
+                try:
                     q.get_nowait()
-            except queue.Empty:
-                pass
+                except Exception:
+                    break
 
 
 def to_device(batch: np.ndarray, sharding=None) -> jnp.ndarray:

@@ -1,0 +1,102 @@
+"""Scaled probe study (VERDICT r1 #7): 32 speakers, >=200-item eval splits,
+accuracy-vs-training-steps curve.
+
+Protocol (documented in RESULTS.md):
+  * corpus: synthetic LibriSpeech-layout, 32 speakers x 4 files x 8 s
+    (~800 snippets of 1.28 s) with per-sample phone labels;
+  * pretrain the tpu_fast config (batch 64 bf16, fused loss) on it,
+    checkpointing at the probe milestones;
+  * at each milestone: frozen-encoder linear probes — speaker-ID on
+    mean-pooled c (max 800 snippets, 25% eval => 200 eval items), phone on
+    per-frame z;
+  * a real corpus is a drop-in: point --data at LibriSpeech wav/flac dirs
+    (speaker = top-level dir); for phones, dump forced alignments as
+    <utt>.phones.npy int per-sample label files next to the audio.
+
+Run: python benchmarks/probe_study.py [--steps 500,1000,2000,4000]
+Prints one JSON line per milestone and a summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--milestones", default="0,500,1000,2000,4000")
+    p.add_argument("--corpus", default=None,
+                   help="existing corpus dir (default: generate synthetic)")
+    p.add_argument("--speakers", type=int, default=32)
+    p.add_argument("--workdir", default="/tmp/probe_study")
+    args = p.parse_args()
+    milestones = sorted(int(s) for s in args.milestones.split(","))
+
+    from cpc_tpu.config import presets
+    from cpc_tpu.data.dataset import ProbeDataset, SnippetDataset
+    from cpc_tpu.data.synthetic import generate_synthetic_corpus
+    from cpc_tpu.eval.probes import run_phone_probe, run_speaker_probe
+    from cpc_tpu.models.cpc import CPCModel
+    from cpc_tpu.train.trainer import Trainer
+
+    cfg = presets.tpu_fast()
+    cfg = dataclasses.replace(
+        cfg,
+        train=dataclasses.replace(cfg.train, num_steps=milestones[-1],
+                                  log_every=200, eval_every=10**9,
+                                  checkpoint_every=10**9),
+    )
+
+    corpus = args.corpus
+    if corpus is None:
+        corpus = os.path.join(args.workdir, "corpus")
+        if not os.path.isdir(corpus):
+            generate_synthetic_corpus(
+                corpus, num_speakers=args.speakers, files_per_speaker=4,
+                seconds_per_file=8.0, seed=123)
+    train_ds = SnippetDataset(corpus, cfg.data.snippet_samples)
+    probe_ds = ProbeDataset(corpus, cfg.data.snippet_samples)
+    print(json.dumps({"corpus_snippets": len(train_ds),
+                      "speakers": probe_ds.num_speakers}), flush=True)
+
+    model = CPCModel(cfg.model)
+    tr = Trainer(cfg, train_ds, workdir=args.workdir)
+    results = []
+    prev = 0
+    for ms in milestones:
+        if ms > prev:
+            t0 = time.time()
+            tr.train(ms)
+            print(json.dumps({"trained_to": ms,
+                              "secs": round(time.time() - t0, 1)}),
+                  flush=True)
+            prev = ms
+        spk = run_speaker_probe(model, tr.params, probe_ds,
+                                max_snippets=800, steps=400,
+                                normalize=cfg.data.normalize)
+        ph = run_phone_probe(model, tr.params, probe_ds, feature="z",
+                             max_snippets=200, steps=400,
+                             normalize=cfg.data.normalize)
+        row = {"step": ms,
+               "speaker_acc": round(spk.accuracy, 4),
+               "speaker_eval_n": spk.num_eval,
+               "speaker_classes": spk.num_classes,
+               "phone_acc": round(ph.accuracy, 4),
+               "phone_eval_n": ph.num_eval,
+               "phone_classes": ph.num_classes}
+        results.append(row)
+        print(json.dumps(row), flush=True)
+    tr.close()
+    print(json.dumps({"summary": results}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

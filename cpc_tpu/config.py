@@ -112,6 +112,10 @@ class LossConfig:
     # preds never materialize outside the matmul's natural layout. Fastest
     # same_step path; requires use_pallas and a global candidate pool <= 1024.
     fuse_heads: bool = False
+    # all_steps + cross_replica only: sweep the global candidate pool over a
+    # ppermute ring (ops/infonce_ring) instead of all-gathering it —
+    # per-replica memory independent of the replica count (SURVEY.md §6.7).
+    ring: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -74,6 +74,7 @@ def infonce_loss_and_metrics(
     axis_name: Optional[str] = None,
     use_pallas: bool = False,
     pallas_bf16: bool = False,
+    ring: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """InfoNCE loss + per-k accuracy.
 
@@ -84,11 +85,22 @@ def infonce_loss_and_metrics(
         the global batch (cross-replica negative sharing, BASELINE.json:10).
     use_pallas: route the score+softmax-CE block through the fused Pallas
         kernel (cpc_tpu.ops.infonce_pallas) instead of the jnp path.
+    ring: with negatives='all_steps' and axis_name set, sweep the global
+        candidate pool over a ppermute ring instead of all-gathering it
+        (cpc_tpu.ops.infonce_ring) — per-replica memory stays constant in
+        the replica count.
 
     Returns (loss, {"loss": ..., "acc": (K,), "acc_mean": ...}).
     """
     B, T, K, D = preds.shape
     Tp = T - K
+
+    if ring and axis_name is not None:
+        if negatives != "all_steps":
+            raise ValueError("ring negatives exist for the all_steps pool; "
+                             "same_step already gathers only z")
+        from cpc_tpu.ops.infonce_ring import ring_infonce_allsteps
+        return ring_infonce_allsteps(preds[:, :Tp], z, axis_name=axis_name)
 
     if use_pallas:
         from cpc_tpu.ops.infonce_pallas import fused_infonce

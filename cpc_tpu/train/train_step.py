@@ -90,6 +90,7 @@ def make_step_fns(cfg: CPCConfig, model: CPCModel, mesh=None) -> StepFns:
             axis_name=gather_axis,
             use_pallas=loss_cfg.use_pallas,
             pallas_bf16=loss_cfg.pallas_bf16,
+            ring=loss_cfg.ring,
         )
         return loss, metrics
 

@@ -106,6 +106,14 @@ class Batcher:
             snips = snips.astype(np.float32)
         return snips
 
+    def one_epoch(self, epoch: int = 0) -> Iterator[tuple]:
+        """Yields exactly one epoch's (epoch, step, batch) synchronously,
+        without touching the resumable (seed, epoch, pos) state — the
+        validation-loop iterator (Trainer.validate)."""
+        order = self._epoch_order(epoch)
+        for b in range(self.batches_per_epoch()):
+            yield epoch, b, self._assemble(order, b)
+
     def __iter__(self) -> Iterator[tuple]:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()

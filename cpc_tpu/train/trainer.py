@@ -136,16 +136,14 @@ class Trainer:
         assert self.val_batcher is not None
         agg: Dict = {}
         n = 0
-        for i, (_, _, host_batch) in enumerate(iter(self.val_batcher)):
-            if i >= max_batches or (i + 1) > self.val_batcher.batches_per_epoch():
+        for i, (_, _, host_batch) in enumerate(self.val_batcher.one_epoch()):
+            if i >= max_batches:
                 break
             batch = to_device(host_batch, self._sharding)
             m = self.steps.eval_step(self.params, batch)
             for k, v in m.items():
                 agg[k] = agg.get(k, 0.0) + np.asarray(v)
             n += 1
-        # reset val iterator state for the next validate() call
-        self.val_batcher.epoch, self.val_batcher.pos = 0, 0
         return {k: v / max(n, 1) for k, v in agg.items()}
 
     def close(self):

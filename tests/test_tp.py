@@ -75,3 +75,34 @@ def test_shard_params_places_on_model_axis():
     assert tuple(spec) == (None, "model"), spec
     conv0 = placed["params"]["encoder"]["conv0"]["kernel"]
     assert tuple(conv0.sharding.spec) == (None, None, "model")
+
+
+def test_tp_optimizer_state_sharded():
+    """Adam moments must shard like their params (VERDICT r1 weak #6) —
+    replicated moments negate the memory benefit TP exists for."""
+    from jax.sharding import PartitionSpec as P
+    cfg = _cfg()
+    model = CPCModel(cfg.model)
+    mesh2d = make_mesh((4, 2), ("data", "model"))
+    step, shard_fn, batch_sharding, opt = make_tp_train_step(cfg, model,
+                                                             mesh2d)
+    params, opt_state = init_state(cfg, model, opt)
+    params, opt_state = shard_fn(params, opt_state)
+
+    def specs(tree):
+        return {jax.tree_util.keystr(path): leaf.sharding.spec
+                for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]}
+
+    p_specs = specs(params)
+    o_specs = specs(opt_state)
+    # at least one param is model-sharded, and for every sharded param the
+    # matching mu/nu moment carries the same spec
+    sharded = {k: s for k, s in p_specs.items() if s != P()}
+    assert sharded, "no param was model-sharded"
+    for pk, spec in sharded.items():
+        hits = [ok for ok in o_specs
+                if ok.endswith(pk) and (".mu" in ok or ".nu" in ok
+                                        or "mu" in ok or "nu" in ok)]
+        assert hits, f"no optimizer moment found for {pk}"
+        for ok in hits:
+            assert o_specs[ok] == spec, (pk, ok, o_specs[ok], spec)

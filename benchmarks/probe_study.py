@@ -36,6 +36,11 @@ def main() -> None:
     p.add_argument("--corpus", default=None,
                    help="existing corpus dir (default: generate synthetic)")
     p.add_argument("--speakers", type=int, default=32)
+    p.add_argument("--files-per-speaker", type=int, default=4)
+    p.add_argument("--seconds-per-file", type=float, default=8.0)
+    p.add_argument("--augment", action="store_true",
+                   help="on-device gain/noise/shift augmentation (curbs "
+                        "overfit on the small synthetic corpus)")
     p.add_argument("--workdir", default="/tmp/probe_study")
     args = p.parse_args()
     milestones = sorted(int(s) for s in args.milestones.split(","))
@@ -50,6 +55,7 @@ def main() -> None:
     cfg = presets.tpu_fast()
     cfg = dataclasses.replace(
         cfg,
+        data=dataclasses.replace(cfg.data, augment=args.augment),
         train=dataclasses.replace(cfg.train, num_steps=milestones[-1],
                                   log_every=200, eval_every=10**9,
                                   checkpoint_every=10**9),
@@ -60,8 +66,9 @@ def main() -> None:
         corpus = os.path.join(args.workdir, "corpus")
         if not os.path.isdir(corpus):
             generate_synthetic_corpus(
-                corpus, num_speakers=args.speakers, files_per_speaker=4,
-                seconds_per_file=8.0, seed=123)
+                corpus, num_speakers=args.speakers,
+                files_per_speaker=args.files_per_speaker,
+                seconds_per_file=args.seconds_per_file, seed=123)
     train_ds = SnippetDataset(corpus, cfg.data.snippet_samples)
     probe_ds = ProbeDataset(corpus, cfg.data.snippet_samples)
     print(json.dumps({"corpus_snippets": len(train_ds),

@@ -30,6 +30,9 @@ def main(argv=None) -> int:
     p.add_argument("--data", default="synthetic")
     p.add_argument("--probe", default="both",
                    choices=["speaker", "phone", "both"])
+    p.add_argument("--packed", action="store_true",
+                   help="--data is a pre-decoded memmap corpus "
+                        "(python -m cpc_tpu.data.pack)")
     p.add_argument("--feature", default="c", choices=["c", "z"])
     p.add_argument("--steps", type=int, default=300)
     p.add_argument("--max-snippets", type=int, default=512)
@@ -85,8 +88,14 @@ def main(argv=None) -> int:
                                       seconds_per_file=4.0, seed=0)
     else:
         corpus = args.data
-    ds = ProbeDataset(corpus, cfg.data.snippet_samples,
-                      cfg.data.snippet_samples, cfg.data.sample_rate)
+    if args.packed:
+        from cpc_tpu.data.packed import PackedSnippetDataset
+        ds = PackedSnippetDataset(corpus, cfg.data.snippet_samples,
+                                  cfg.data.snippet_samples,
+                                  cfg.data.sample_rate)
+    else:
+        ds = ProbeDataset(corpus, cfg.data.snippet_samples,
+                          cfg.data.snippet_samples, cfg.data.sample_rate)
 
     results = {"checkpoint_step": step, "feature": args.feature}
     if args.probe in ("speaker", "both"):

@@ -27,6 +27,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="'synthetic', 'synthetic-music', or a corpus directory")
     p.add_argument("--val-data", default=None,
                    help="validation corpus directory (defaults to --data)")
+    p.add_argument("--packed", action="store_true",
+                   help="--data/--val-data point at pre-decoded memmap "
+                        "corpora (python -m cpc_tpu.data.pack) — zero host "
+                        "decode during training")
     p.add_argument("--workdir", default="runs/default")
     p.add_argument("--steps", type=int, default=None,
                    help="override train.num_steps")
@@ -74,12 +78,21 @@ def main(argv=None) -> int:
         corpus = args.data
     val_corpus = args.val_data or corpus
 
-    train_ds = SnippetDataset(corpus, cfg.data.snippet_samples,
-                              cfg.data.snippet_stride,
-                              cfg.data.sample_rate)
-    val_ds = SnippetDataset(val_corpus, cfg.data.snippet_samples,
-                            cfg.data.snippet_samples,
-                            cfg.data.sample_rate)
+    if args.packed:
+        from cpc_tpu.data.packed import PackedSnippetDataset
+        train_ds = PackedSnippetDataset(corpus, cfg.data.snippet_samples,
+                                        cfg.data.snippet_stride,
+                                        cfg.data.sample_rate)
+        val_ds = PackedSnippetDataset(val_corpus, cfg.data.snippet_samples,
+                                      cfg.data.snippet_samples,
+                                      cfg.data.sample_rate)
+    else:
+        train_ds = SnippetDataset(corpus, cfg.data.snippet_samples,
+                                  cfg.data.snippet_stride,
+                                  cfg.data.sample_rate)
+        val_ds = SnippetDataset(val_corpus, cfg.data.snippet_samples,
+                                cfg.data.snippet_samples,
+                                cfg.data.sample_rate)
 
     trainer = Trainer(cfg, train_ds, val_ds, workdir=args.workdir)
     if args.resume:

@@ -1,0 +1,85 @@
+"""Pre-decoded memmap corpus (SURVEY.md §8.4 input-pipeline mitigation):
+pack-time decode equivalence with the live-decode SnippetDataset, zero
+decodes at access time, Batcher/probe-label compatibility."""
+
+import numpy as np
+import pytest
+
+import cpc_tpu.data.dataset as dsmod
+from cpc_tpu.data.dataset import ProbeDataset, SnippetDataset
+from cpc_tpu.data.loader import Batcher
+from cpc_tpu.data.packed import PackedSnippetDataset, pack_corpus
+from cpc_tpu.data.synthetic import generate_synthetic_corpus
+
+
+@pytest.fixture(scope="module")
+def corpora(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("pk_corpus"))
+    generate_synthetic_corpus(root, num_speakers=3, files_per_speaker=2,
+                              seconds_per_file=2.0, seed=21)
+    packed = str(tmp_path_factory.mktemp("pk_packed"))
+    meta = pack_corpus(root, packed)
+    return root, packed, meta
+
+
+def test_pack_index_totals(corpora):
+    root, packed, meta = corpora
+    assert len(meta["files"]) == 6
+    assert meta["total_samples"] == 6 * 32000
+    assert meta["has_phones"]  # synthetic generator writes .phones.npy
+
+
+def test_snippets_match_live_decode(corpora):
+    root, packed, _ = corpora
+    live = SnippetDataset(root, snippet_samples=16000, snippet_stride=8000)
+    mm = PackedSnippetDataset(packed, snippet_samples=16000,
+                              snippet_stride=8000)
+    assert len(live) == len(mm)
+    for i in (0, 1, len(live) // 2, len(live) - 1):
+        np.testing.assert_array_equal(live.snippet_int16(i),
+                                      mm.snippet_int16(i))
+        np.testing.assert_allclose(live[i], mm[i], atol=1.0 / 32768)
+        assert live.locate(i)[1] == mm.locate(i)[1]
+        assert live.speaker_of(i) == mm.speaker_of(i)
+
+
+def test_zero_decodes_at_access(corpora, monkeypatch):
+    root, packed, _ = corpora
+    calls = []
+    monkeypatch.setattr(dsmod, "decode",
+                        lambda p: calls.append(p) or (_ for _ in ()).throw(
+                            AssertionError("decode called")))
+    mm = PackedSnippetDataset(packed, snippet_samples=16000)
+    _ = mm[0]
+    _ = mm.snippet_int16(1)
+    _ = mm.item_with_labels(0)
+    assert calls == []
+
+
+def test_probe_labels_match(corpora):
+    root, packed, _ = corpora
+    live = ProbeDataset(root, snippet_samples=16000)
+    mm = PackedSnippetDataset(packed, snippet_samples=16000)
+    assert mm.num_speakers == live.num_speakers == 3
+    for i in range(len(live)):
+        xl, sl, pl = live.item_with_labels(i)
+        xm, sm, pm = mm.item_with_labels(i)
+        assert sl == sm
+        assert (pl is None) == (pm is None)
+        if pl is not None:
+            np.testing.assert_array_equal(pl[:16000], pm)
+
+
+def test_batcher_over_packed(corpora):
+    _, packed, _ = corpora
+    mm = PackedSnippetDataset(packed, snippet_samples=16000,
+                              snippet_stride=8000)
+    b = Batcher(mm, 4, shuffle=True, seed=0, transfer_dtype="int16")
+    _, _, batch = next(iter(b))
+    assert batch.shape == (4, 16000) and batch.dtype == np.int16
+
+
+def test_rate_mismatch_raises(corpora):
+    _, packed, _ = corpora
+    with pytest.raises(ValueError, match="re-pack"):
+        PackedSnippetDataset(packed, snippet_samples=16000, sample_rate=8000)

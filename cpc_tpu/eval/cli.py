@@ -43,6 +43,10 @@ def main(argv=None) -> int:
     p.add_argument("--out", default=None,
                    help="output .npz for --extract (default: "
                         "<audio>.features.npz)")
+    p.add_argument("--hop", type=int, default=None,
+                   help="--extract sliding-window hop in samples (< window "
+                        "gives overlapped windows with warm gar context; "
+                        "default: window)")
     args = p.parse_args(argv)
 
     cfg = presets.by_name(args.config)
@@ -72,6 +76,7 @@ def main(argv=None) -> int:
                                        cfg.data.sample_rate))[0]
         z, c = extract_features(model, params, wave.astype(np.float32),
                                 window=cfg.data.snippet_samples,
+                                hop=args.hop,
                                 normalize=cfg.data.normalize)
         out = args.out or args.extract + ".features.npz"
         np.savez(out, z=z, c=c)

@@ -50,12 +50,15 @@ def main() -> None:
     # warmup + compile. NOTE: on the axon TPU platform block_until_ready is
     # NOT a real sync — only a device->host value fetch is. Always time with
     # float(...) readbacks.
-    for i in range(3):
+    for i in range(5):
         params, opt_state, metrics = steps.train_step(params, opt_state,
                                                       batches[i % n_buf])
     float(metrics["loss"])
 
-    iters = 100
+    # one host fetch costs ~36 ms on the axon tunnel; 400 pipelined
+    # iterations with a single final fetch keep the sync artifact < 0.1
+    # ms/step (docs/DESIGN.md "Round-2 measured ground truth")
+    iters = 400
     t0 = time.perf_counter()
     for i in range(iters):
         params, opt_state, metrics = steps.train_step(params, opt_state,

@@ -70,7 +70,7 @@ def main() -> None:
                            / cfg.data.sample_rate)
     value = iters * audio_sec_per_batch / dt / n_chips
     host_value = _host_in_the_loop(cfg, steps, params, opt_state,
-                                   audio_sec_per_batch, n_chips)
+                                   audio_sec_per_batch, n_chips, sharding)
     print(json.dumps({
         "metric": "cpc_pretrain_throughput",
         "value": round(value, 1),
@@ -86,7 +86,7 @@ def main() -> None:
 
 
 def _host_in_the_loop(cfg, steps, params, opt_state, audio_sec_per_batch,
-                      n_chips, iters=60):
+                      n_chips, sharding=None, iters=60):
     """Trainer-loop throughput: the Batcher assembles int16 batches from a
     synthetic on-disk corpus (prefetch thread on) and every step crosses the
     host->device boundary — a measured number instead of an argued one
@@ -116,13 +116,13 @@ def _host_in_the_loop(cfg, steps, params, opt_state, audio_sec_per_batch,
         for _ in range(3):  # warm the prefetch thread + reuse compiled step
             _, _, hb = next(it)
             params, opt_state, metrics = steps.train_step(
-                params, opt_state, to_device(hb))
+                params, opt_state, to_device(hb, sharding))
         float(metrics["loss"])
         t0 = time.perf_counter()
         for _ in range(iters):
             _, _, hb = next(it)
             params, opt_state, metrics = steps.train_step(
-                params, opt_state, to_device(hb))
+                params, opt_state, to_device(hb, sharding))
         float(metrics["loss"])
         dt = time.perf_counter() - t0
     return iters * audio_sec_per_batch / dt / n_chips

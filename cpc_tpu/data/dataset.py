@@ -109,7 +109,44 @@ class _DecodedCache:
         return x
 
 
-class SnippetDataset:
+class FlatSnippetIndex:
+    """The deterministic flat (file, offset) snippet-index arithmetic
+    (SURVEY.md §4.4) shared by SnippetDataset and PackedSnippetDataset —
+    one definition of what an 'epoch' and a 'batch' mean.
+
+    Subclasses populate self.files / self._file_snippets and call
+    _finalize_index(); snippet_samples and snippet_stride must be set."""
+
+    @staticmethod
+    def snippet_count(n_samples: int, snippet_samples: int,
+                      stride: int) -> int:
+        return 0 if n_samples < snippet_samples else (
+            1 + (n_samples - snippet_samples) // stride)
+
+    def _finalize_index(self, where: str) -> None:
+        if not self.files:
+            raise ValueError(f"no usable audio under {where!r} "
+                             f"(need >= {self.snippet_samples} samples "
+                             f"per file)")
+        self._cum = np.cumsum([0] + self._file_snippets)
+
+    def __len__(self) -> int:
+        return int(self._cum[-1])
+
+    def _locate_file(self, idx: int) -> Tuple[int, int]:
+        """index -> (file number, sample offset within the file)."""
+        if not 0 <= idx < len(self):
+            raise IndexError(idx)
+        f = bisect.bisect_right(self._cum, idx) - 1
+        return f, (idx - int(self._cum[f])) * self.snippet_stride
+
+    def locate(self, idx: int) -> Tuple[str, int]:
+        """index -> (file path, sample offset)."""
+        f, off = self._locate_file(idx)
+        return self.files[f], off
+
+
+class SnippetDataset(FlatSnippetIndex):
     """Flat snippet index over a corpus directory.
 
     Mirrors the reference's AudioDataset contract (SURVEY.md §3, §4.4):
@@ -134,16 +171,12 @@ class SnippetDataset:
         self.files: List[str] = []
         self._file_snippets: List[int] = []
         for path in list_audio_files(corpus_dir):
-            n = self._num_samples(path)
-            cnt = 0 if n < snippet_samples else (
-                1 + (n - snippet_samples) // self.snippet_stride)
+            cnt = self.snippet_count(self._num_samples(path),
+                                     snippet_samples, self.snippet_stride)
             if cnt > 0:
                 self.files.append(path)
                 self._file_snippets.append(cnt)
-        if not self.files:
-            raise ValueError(f"no usable audio under {corpus_dir!r} "
-                             f"(need >= {snippet_samples} samples per file)")
-        self._cum = np.cumsum([0] + self._file_snippets)
+        self._finalize_index(corpus_dir)
 
     def _num_samples(self, path: str) -> int:
         """Target-rate sample count, from the file header when possible.
@@ -165,16 +198,6 @@ class SnippetDataset:
                 g = int(np.gcd(sr, self.sample_rate))
                 return (n * (self.sample_rate // g)) // (sr // g)
         return len(self._cache.get(path))
-
-    def __len__(self) -> int:
-        return int(self._cum[-1])
-
-    def locate(self, idx: int) -> Tuple[str, int]:
-        """index -> (file path, sample offset)."""
-        if not 0 <= idx < len(self):
-            raise IndexError(idx)
-        f = bisect.bisect_right(self._cum, idx) - 1
-        return self.files[f], (idx - int(self._cum[f])) * self.snippet_stride
 
     def __getitem__(self, idx: int) -> np.ndarray:
         path, off = self.locate(idx)

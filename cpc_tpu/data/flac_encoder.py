@@ -111,13 +111,14 @@ def _write_residual(bw: _BitWriter, res: np.ndarray, blocksize: int,
     plen = 4 if method == "rice" else 5
     esc = (1 << plen) - 1
     cap = esc - 1
+    # lower the order until it fits this block (real encoders do the same
+    # for the final partial block: partitions must divide the blocksize and
+    # the first partition must be non-empty after the warmup samples)
+    while partition_order > 0 and (
+            blocksize % (1 << partition_order)
+            or (blocksize >> partition_order) <= order):
+        partition_order -= 1
     nparts = 1 << partition_order
-    if blocksize % nparts:
-        raise ValueError(f"blocksize {blocksize} not divisible into "
-                         f"2^{partition_order} partitions")
-    if (blocksize >> partition_order) <= order:
-        raise ValueError("first partition would be empty; lower the "
-                         "partition order")
     bw.write(method_bit, 2)
     bw.write(partition_order, 4)
     idx = 0
@@ -186,6 +187,9 @@ def _encode_subframe(bw: _BitWriter, x: np.ndarray, bps: int, mode: str,
             mode = "constant"
         else:
             mode = "fixed2" if blocksize > 4 else "verbatim"
+    if (mode.startswith("fixed") or mode.startswith("lpc")) \
+            and int(mode.lstrip("fixedlpc") or 0) >= blocksize:
+        mode = "verbatim"  # tail block shorter than the predictor order
     bw.write(0, 1)  # reserved
 
     wasted = 0

@@ -25,12 +25,13 @@ size, kernel page cache doing the caching.
 
 from __future__ import annotations
 
-import bisect
 import json
 import os
 from typing import List, Optional, Tuple
 
 import numpy as np
+
+from cpc_tpu.data.dataset import FlatSnippetIndex
 
 _NO_PHONE = 255
 
@@ -91,9 +92,10 @@ def pack_corpus(corpus_dir: str, out_dir: str,
     return meta
 
 
-class PackedSnippetDataset:
+class PackedSnippetDataset(FlatSnippetIndex):
     """SnippetDataset-contract view over a packed corpus: deterministic flat
-    (file, offset) snippet index (SURVEY.md §4.4), memmap-backed access.
+    (file, offset) snippet index (SURVEY.md §4.4, the shared
+    FlatSnippetIndex arithmetic), memmap-backed access.
 
     Drop-in for SnippetDataset/ProbeDataset in Batcher, Trainer, and the
     probes (duck-typed: __len__/__getitem__/snippet_int16/locate/speaker_of/
@@ -128,34 +130,20 @@ class PackedSnippetDataset:
         self._file_snippets: List[int] = []
         self._speakers: List[str] = []
         for entry in meta["files"]:
-            n = entry["length"]
-            cnt = 0 if n < snippet_samples else (
-                1 + (n - snippet_samples) // self.snippet_stride)
+            cnt = self.snippet_count(entry["length"], snippet_samples,
+                                     self.snippet_stride)
             if cnt > 0:
                 self.files.append(entry["path"])
                 self._file_offsets.append(entry["offset"])
                 self._file_snippets.append(cnt)
                 self._speakers.append(entry["speaker"])
-        if not self.files:
-            raise ValueError(f"no usable audio in {packed_dir!r} "
-                             f"(need >= {snippet_samples} samples per file)")
-        self._cum = np.cumsum([0] + self._file_snippets)
+        self._finalize_index(packed_dir)
         uniq = sorted(set(self._speakers))
         self.speaker_to_id = {s: i for i, s in enumerate(uniq)}
         self.num_speakers = len(uniq)
 
-    def __len__(self) -> int:
-        return int(self._cum[-1])
-
-    def locate(self, idx: int) -> Tuple[str, int]:
-        if not 0 <= idx < len(self):
-            raise IndexError(idx)
-        f = bisect.bisect_right(self._cum, idx) - 1
-        return self.files[f], (idx - int(self._cum[f])) * self.snippet_stride
-
     def _span(self, idx: int) -> Tuple[int, int]:
-        f = bisect.bisect_right(self._cum, idx) - 1
-        off = (idx - int(self._cum[f])) * self.snippet_stride
+        f, off = self._locate_file(idx)
         return f, self._file_offsets[f] + off
 
     def snippet_int16(self, idx: int) -> np.ndarray:
@@ -176,6 +164,10 @@ class PackedSnippetDataset:
         phones = None
         if self._phones is not None:
             lab = np.asarray(self._phones[a:a + self.snippet_samples])
-            if not (lab == _NO_PHONE).all():
+            # snippets touching ANY unlabeled samples (the 255 sentinel —
+            # files without alignments, or alignment tails shorter than the
+            # audio) are excluded from the phone probe rather than leaking
+            # the sentinel in as a fake 256th class
+            if not (lab == _NO_PHONE).any():
                 phones = lab.astype(np.int64)
         return x, spk, phones

@@ -138,12 +138,15 @@ def run_phone_probe(
     for i in range(n):
         x, _, phones = dataset.item_with_labels(i)
         if phones is None:
-            raise ValueError(
-                "phone probe needs <utt>.phones.npy label files "
-                "(the synthetic generator writes them; for real corpora dump "
-                "forced alignments in the same format)")
+            continue  # unlabeled snippet (no/partial alignment): skip
         snippets.append(x)
         frame_labels.append(phones)
+    if not snippets:
+        raise ValueError(
+            "phone probe needs <utt>.phones.npy label files "
+            "(the synthetic generator writes them; for real corpora dump "
+            "forced alignments in the same format)")
+    n = len(snippets)
     feats = _extract(model, params, np.stack(snippets), feature,
                      normalize=normalize)  # (N, T, d)
     N, T, d = feats.shape

@@ -131,8 +131,9 @@ def _bwd_kernel(shift_ref, *refs, K: int, B: int, C: int, Tp: int):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def _heads_nll(c_tm, z_tm, W, shift, K: int, interpret: bool):
     """c_tm (T, B, A), z_tm (T, C, D), W (A, K*D), shift () int32 ->
-    (nll (T-1, K*B) fp32, correct (T-1, K*B) fp32). Edge rows are garbage —
-    reduce with validity_mask."""
+    (nll (T, K*B) fp32, correct (T, K*B) fp32), row tau = target step.
+    Edge rows (tau = 0 and out-of-window (t, k)) are garbage — reduce with
+    validity_mask_tm."""
     out, _ = _fwd_rule(c_tm, z_tm, W, shift, K, interpret)
     return out
 

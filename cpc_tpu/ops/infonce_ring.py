@@ -64,8 +64,8 @@ def _ring_fwd(p_flat, z_flat, shift, B, K, T, axis_name):
     perm = [(j, (j + 1) % R) for j in range(R)]
     p32 = p_flat.astype(jnp.float32)
 
-    def step(carry, r):
-        m, l, slab, av, ai, z = carry
+    def fold(carry, z, r):
+        m, l, slab, av, ai = carry
         owner = (me - r) % R
         s = p32 @ z.astype(jnp.float32).T  # (rows, n_loc)
         cols = owner * n_loc + jnp.arange(n_loc)[None, :]
@@ -73,23 +73,34 @@ def _ring_fwd(p_flat, z_flat, shift, B, K, T, axis_name):
             jnp.where(cols == labels[:, None], s, 0.0), axis=-1)
         tile_max = jnp.max(s, axis=-1)
         tile_arg = owner * n_loc + jnp.argmax(s, axis=-1).astype(jnp.int32)
-        better = tile_max > av
+        # tie-break toward the LOWER global column so accuracy matches the
+        # all-gather path's first-index argmax regardless of visit order
+        better = (tile_max > av) | ((tile_max == av) & (tile_arg < ai))
         av = jnp.where(better, tile_max, av)
         ai = jnp.where(better, tile_arg, ai)
         m_new = jnp.maximum(m, tile_max)
         l = l * jnp.exp(m - m_new) + jnp.sum(
             jnp.exp(s - m_new[:, None]), axis=-1)
+        return (m_new, l, slab, av, ai)
+
+    def step(carry, r):
+        *stats, z = carry
+        stats = fold(tuple(stats), z, r)
         z = jax.lax.ppermute(z, axis_name, perm)
-        return (m_new, l, slab, av, ai, z), None
+        return (*stats, z), None
 
     init = (jnp.full((rows,), _NEG, jnp.float32),
             jnp.zeros((rows,), jnp.float32),
             jnp.zeros((rows,), jnp.float32),
             jnp.full((rows,), _NEG, jnp.float32),
-            jnp.zeros((rows,), jnp.int32),
+            jnp.full((rows,), jnp.iinfo(jnp.int32).max, jnp.int32),
             z_flat)
-    (m, l, slab, av, ai, _), _ = jax.lax.scan(
-        step, init, jnp.arange(R, dtype=jnp.int32))
+    # R-1 score+rotate steps, then the final chunk scored WITHOUT the
+    # (discarded) last rotation — one chunk of ICI traffic saved per eval
+    (m, l, slab, av, ai, z_last), _ = jax.lax.scan(
+        step, init, jnp.arange(R - 1, dtype=jnp.int32))
+    m, l, slab, av, ai = fold((m, l, slab, av, ai), z_last,
+                              jnp.asarray(R - 1, jnp.int32))
     lse = m + jnp.log(l)
     nll = lse - slab
     correct = (ai == labels).astype(jnp.float32)
@@ -108,8 +119,7 @@ def _ring_bwd(B, K, T, axis_name, res, cots):
     g = g_nll.astype(jnp.float32)
     p32 = p_flat.astype(jnp.float32)
 
-    def step(carry, r):
-        dp, z, dz = carry
+    def contribute(dp, z, dz, r):
         owner = (me - r) % R
         z32 = z.astype(jnp.float32)
         s = p32 @ z32.T
@@ -117,18 +127,25 @@ def _ring_bwd(B, K, T, axis_name, res, cots):
         soft = jnp.exp(s - lse[:, None])
         delta = (soft - (cols == labels[:, None]).astype(jnp.float32)) \
             * g[:, None]
-        dp = dp + delta @ z32
-        dz = dz + delta.T @ p32
-        # dz travels with its chunk: after R rotations both are home with
-        # every replica's contribution accumulated.
+        return dp + delta @ z32, dz + delta.T @ p32
+
+    def step(carry, r):
+        dp, z, dz = carry
+        dp, dz = contribute(dp, z, dz, r)
+        # dz travels with its chunk so that after R rotations it is home
+        # with every replica's contribution accumulated.
         z = jax.lax.ppermute(z, axis_name, perm)
         dz = jax.lax.ppermute(dz, axis_name, perm)
         return (dp, z, dz), None
 
     init = (jnp.zeros((rows, D), jnp.float32), z_flat,
             jnp.zeros((n_loc, D), jnp.float32))
-    (dp, _, dz), _ = jax.lax.scan(step, init,
-                                  jnp.arange(R, dtype=jnp.int32))
+    (dp, z_last, dz), _ = jax.lax.scan(step, init,
+                                       jnp.arange(R - 1, dtype=jnp.int32))
+    # final chunk: accumulate, then one last dz rotation brings it home —
+    # z itself no longer needs to move
+    dp, dz = contribute(dp, z_last, dz, jnp.asarray(R - 1, jnp.int32))
+    dz = jax.lax.ppermute(dz, axis_name, perm)
     return dp.astype(p_flat.dtype), dz.astype(z_flat.dtype), None
 
 

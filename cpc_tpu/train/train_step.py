@@ -31,6 +31,14 @@ class StepFns(NamedTuple):
     loss_fn: Callable
 
 
+def needs_rng(cfg: CPCConfig) -> bool:
+    """True when the train step consumes per-step randomness (on-device
+    augmentation or transformer dropout) — the single definition used by
+    make_step_fns, make_multi_step, and the Trainer."""
+    return cfg.data.augment or (cfg.model.ar.kind == "transformer"
+                                and cfg.model.ar.dropout > 0.0)
+
+
 def make_optimizer(cfg: CPCConfig) -> optax.GradientTransformation:
     t = cfg.train
     if t.warmup_steps > 0:
@@ -112,13 +120,13 @@ def make_step_fns(cfg: CPCConfig, model: CPCModel, mesh=None) -> StepFns:
             metrics = jax.lax.pmean(metrics, axis_name)
         return metrics
 
-    needs_rng = augment or dropout
+    want_rng = needs_rng(cfg)
     if mesh is not None and mesh.size > 1:
         train = dp_train_step(train_step, mesh, axis=mesh.axis_names[0],
-                              with_rng=needs_rng)
+                              with_rng=want_rng)
         evals = dp_eval_step(eval_step, mesh, axis=mesh.axis_names[0])
     else:
-        if needs_rng:
+        if want_rng:
             train = jax.jit(functools.partial(train_step, axis_name=None),
                             donate_argnums=(0, 1))
         else:
@@ -142,13 +150,12 @@ def make_multi_step(cfg: CPCConfig, model: CPCModel, n_steps: int,
     split into one key per step and threaded through the scan (the inner
     step folds in axis_index for per-replica randomness under DP)."""
     steps = make_step_fns(cfg, model, mesh)
-    needs_rng = cfg.data.augment or (cfg.model.ar.kind == "transformer"
-                                     and cfg.model.ar.dropout > 0.0)
+    want_rng = needs_rng(cfg)
 
     def multi(params, opt_state, batches, rng=None):
         def body(carry, inp):
             params, opt_state = carry
-            if needs_rng:
+            if want_rng:
                 batch, step_rng = inp
                 params, opt_state, metrics = steps.train_step(
                     params, opt_state, batch, step_rng)
@@ -157,7 +164,7 @@ def make_multi_step(cfg: CPCConfig, model: CPCModel, n_steps: int,
                     params, opt_state, inp)
             return (params, opt_state), metrics["loss"]
 
-        if needs_rng:
+        if want_rng:
             if rng is None:
                 raise ValueError(
                     "this config uses per-step randomness (augment/dropout): "

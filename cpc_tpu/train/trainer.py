@@ -91,10 +91,9 @@ class Trainer:
         audio_sec_per_batch = (
             self.cfg.data.batch_size * self.cfg.data.snippet_samples
             / self.cfg.data.sample_rate)
-        needs_rng = self.cfg.data.augment or (
-            self.cfg.model.ar.kind == "transformer"
-            and self.cfg.model.ar.dropout > 0.0)
-        aug_key = (jax.random.key(cfg.seed + 0x5EED) if needs_rng else None)
+        from cpc_tpu.train.train_step import needs_rng
+        aug_key = (jax.random.key(cfg.seed + 0x5EED)
+                   if needs_rng(self.cfg) else None)
         while self.step < total:
             _, _, host_batch = next(it)
             batch = to_device(host_batch, self._sharding)

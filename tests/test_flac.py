@@ -156,3 +156,10 @@ def test_lpc_compresses_tonal_audio(tmp_path):
     pv = str(tmp_path / "v.flac"); write_flac(pv, sig, 16_000, subframe="verbatim")
     pl = str(tmp_path / "l.flac"); write_flac(pl, sig, 16_000, subframe="lpc8")
     assert os.path.getsize(pl) < 0.7 * os.path.getsize(pv)
+
+
+def test_partial_tail_block_with_partitions(tmp_path):
+    # the final partial block must lower its residual partition order
+    # instead of erroring (real encoders do the same)
+    _roundtrip_exact(tmp_path, "tailpart", _sig(n=4097), subframe="fixed2",
+                     partition_order=2, block_size=4096)

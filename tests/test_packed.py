@@ -83,3 +83,26 @@ def test_rate_mismatch_raises(corpora):
     _, packed, _ = corpora
     with pytest.raises(ValueError, match="re-pack"):
         PackedSnippetDataset(packed, snippet_samples=16000, sample_rate=8000)
+
+
+def test_partial_phone_labels_excluded(tmp_path):
+    """A snippet overlapping unlabeled audio (alignment shorter than the
+    file) must come back phones=None, never leaking the 255 sentinel."""
+    import os
+    from cpc_tpu.data.wavio import write_wav
+    root = tmp_path / "short_lab"
+    d = root / "spk0" / "ch0"
+    d.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    wav = rng.standard_normal(32000).astype(np.float32) * 0.1
+    write_wav(str(d / "u.wav"), wav, 16000)
+    np.save(str(d / "u.phones.npy"),
+            np.ones(20000, np.uint8))  # alignment covers only 20k samples
+    packed = str(tmp_path / "short_packed")
+    pack_corpus(str(root), packed)
+    mm = PackedSnippetDataset(packed, snippet_samples=16000,
+                              snippet_stride=16000)
+    x0, _, p0 = mm.item_with_labels(0)  # fully inside the labeled span
+    x1, _, p1 = mm.item_with_labels(1)  # overlaps the unlabeled tail
+    assert p0 is not None and p0.max() < 255
+    assert p1 is None

@@ -15,12 +15,13 @@ which the kernel can consume directly:
     — expressible as K narrow (1, B, D) block specs with index maps
     (clip(tau-1-k), 0, k). No transpose, no valid-window slice (the validity
     mask already handles edge rows), no regrouping of any kind.
-  * backward writes dp as K separate (Tp+1, B, D) arrays (block index
-    min(max(tau-1-k, 0), Tp); row Tp is a dump slot for out-of-window
-    programs, and every garbage write carries zeroed delta rows or is
-    overwritten by the unique valid program later in the sequential grid).
-    XLA then folds them straight into dc = sum_k dp_k @ W_k^T and
-    dW_k = c^T @ dp_k — plain matmuls, no gathers.
+  * backward writes dp as K separate tau-indexed (T, B, D) arrays (row tau =
+    cotangent of prediction t = tau-1-k; out-of-window rows are exact zeros
+    via the validity mask) and the caller slices rows [1+k, 1+k+Tp) to
+    recover t-indexing. XLA then folds them straight into
+    dc = sum_k dp_k @ W_k^T and dW_k = c^T @ dp_k — plain matmuls, no
+    gathers. Forward and backward grids are both G-tiled (G target steps per
+    program) to amortize the ~3 us/program Mosaic dispatch cost.
 
 Semantics match cpc_tpu.ops.infonce exactly (same_step negatives,
 cross-replica shift): preds[t, k] = c[t] @ W[:, kD:(k+1)D] scores against
@@ -50,13 +51,6 @@ def validity_mask_tm(T: int, K: int, B: int, Tp: int) -> jnp.ndarray:
     rows = jnp.arange(K * B)[None, :]
     t = tau - 1 - rows // B
     return jnp.logical_and(t >= 0, t < Tp).astype(jnp.float32)
-
-
-def _p_spec(K: int, B: int, D: int, T: int, k: int) -> pl.BlockSpec:
-    """(1, B, D) block of p (T, B, K*D): prediction (t = tau-1-k, head k)."""
-    def index_map(ti, shift_ref):
-        return (jnp.clip(ti + 1 - 1 - k, 0, T - 1), 0, k)
-    return pl.BlockSpec((1, B, D), index_map, memory_space=pltpu.VMEM)
 
 
 def _rows(K: int, B: int):
@@ -91,41 +85,50 @@ def _fwd_kernel(shift_ref, *refs, K: int, B: int, C: int, G: int):
                             ).astype(jnp.float32)
 
 
-def _bwd_kernel(shift_ref, *refs, K: int, B: int, C: int, Tp: int):
+def _bwd_kernel(shift_ref, *refs, K: int, B: int, C: int, Tp: int, G: int):
+    """G target steps per program (same amortization as the forward).
+    Outputs are tau-indexed: dz row tau, and dp_k row tau = the cotangent of
+    prediction (t = tau-1-k, head k) — the caller shifts each dp_k back to
+    t-indexing with a static slice. Rows whose (t, k) is out of window get
+    delta = 0 (the validity mask), so tau = 0 and edge rows are exact zeros,
+    not garbage: no clamped-write ordering tricks needed."""
     g_ref = refs[0]
-    p_refs, z_ref = refs[1:K + 1], refs[K + 1]
-    dz_ref = refs[K + 2]
-    dp_refs = refs[K + 3:]
-    tau = pl.program_id(0) + 1
-
-    z = z_ref[0]
-    p_eff = jnp.concatenate([p_refs[k][0] for k in range(K)], axis=0)
-    s = jax.lax.dot_general(
-        p_eff, z, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    p_refs, z_ref = refs[1:G * K + 1], refs[G * K + 1]
+    dz_ref = refs[G * K + 2]
+    dp_refs = refs[G * K + 3:]
 
     k_of_row, i_of_row = _rows(K, B)
     labels = shift_ref[0] + i_of_row
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    soft = e / jnp.sum(e, axis=-1, keepdims=True)
     cols = jax.lax.broadcasted_iota(jnp.int32, (K * B, C), 1)
-    delta = soft - (cols == labels[:, None]).astype(jnp.float32)
-    t_of_row = tau - 1 - k_of_row
-    valid = jnp.logical_and(t_of_row >= 0, t_of_row < Tp).astype(jnp.float32)
-    delta = delta * (g_ref[0, 0, :] * valid)[:, None]
+    for g in range(G):
+        tau = pl.program_id(0) * G + g
+        z = z_ref[g]
+        p_eff = jnp.concatenate(
+            [p_refs[g * K + k][0] for k in range(K)], axis=0)
+        s = jax.lax.dot_general(
+            p_eff, z, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
-    dz_ref[0] = jax.lax.dot_general(  # (C, K*B) x (K*B, D)
-        delta, p_eff.astype(jnp.float32),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dz_ref.dtype)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        soft = e / jnp.sum(e, axis=-1, keepdims=True)
+        delta = soft - (cols == labels[:, None]).astype(jnp.float32)
+        t_of_row = tau - 1 - k_of_row
+        valid = jnp.logical_and(t_of_row >= 0,
+                                t_of_row < Tp).astype(jnp.float32)
+        delta = delta * (g_ref[g, 0, :] * valid)[:, None]
 
-    dp = jax.lax.dot_general(  # (K*B, C) x (C, D)
-        delta, z.astype(jnp.float32),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    for k in range(K):
-        dp_refs[k][0] = dp[k * B:(k + 1) * B].astype(dp_refs[k].dtype)
+        dz_ref[g] = jax.lax.dot_general(  # (C, K*B) x (K*B, D)
+            delta, p_eff.astype(jnp.float32),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dz_ref.dtype)
+
+        dp = jax.lax.dot_general(  # (K*B, C) x (C, D)
+            delta, z.astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        for k in range(K):
+            dp_refs[k][g] = dp[k * B:(k + 1) * B].astype(dp_refs[k].dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -206,60 +209,84 @@ def _fwd_rule(c_tm, z_tm, W, shift, K, interpret):
     return out, (c_tm, z_tm, W, p, shift)
 
 
+def _choose_g_bwd(T: int, K: int, B: int, C: int, D: int,
+                  itemsize: int) -> int:
+    """Largest G in {4, 2, 1} dividing T whose double-buffered backward tile
+    set fits the VMEM budget. The backward carries the dp outputs on top of
+    the forward's tiles, so its budget is tighter than the forward's."""
+    budget = 8 * 1024 * 1024
+    for g in (4, 2, 1):
+        if T % g:
+            continue
+        est = (2 * g * K * B * D * itemsize   # p blocks, double-buffered
+               + 2 * g * C * D * itemsize     # z tile
+               + 2 * g * C * D * 4            # dz out (fp32)
+               + 2 * g * K * B * D * itemsize  # dp outs
+               + 4 * K * B * C * 4)           # score/softmax temporaries
+        if est <= budget:
+            return g
+    return 1
+
+
 def _bwd_rule(K, interpret, res, cots):
     c_tm, z_tm, W, p, shift = res
     g_nll, _g_cor = cots  # accuracy is argmax: non-differentiable
     T, B, A = c_tm.shape
     _, C, D = z_tm.shape
     Tp = T - K
+    G = _choose_g_bwd(T, K, B, C, D, p.dtype.itemsize)
+
+    def p_map(g, k):
+        def index_map(ti, shift_ref):
+            return (jnp.clip(ti * G + g - 1 - k, 0, T - 1), 0, k)
+        return index_map
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(T - 1,),
+        grid=(T // G,),
         in_specs=[
-            pl.BlockSpec((1, 1, K * B), lambda ti, s: (ti + 1, 0, 0),
+            pl.BlockSpec((G, 1, K * B), lambda ti, s: (ti, 0, 0),
                          memory_space=pltpu.VMEM),
-            *[_p_spec(K, B, D, T, k) for k in range(K)],
-            pl.BlockSpec((1, C, D), lambda ti, s: (ti + 1, 0, 0),
+            *[pl.BlockSpec((1, B, D), p_map(g, k), memory_space=pltpu.VMEM)
+              for g in range(G) for k in range(K)],
+            pl.BlockSpec((G, C, D), lambda ti, s: (ti, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, C, D), lambda ti, s: (ti + 1, 0, 0),
+            pl.BlockSpec((G, C, D), lambda ti, s: (ti, 0, 0),
                          memory_space=pltpu.VMEM),
-            # dp_k row tau-1-k; <0 clamps to 0 (the unique valid program for
-            # row 0 runs LAST in the ascending sequential grid and wins);
-            # >= Tp dumps to the sliced-off row Tp (its delta rows are zero).
-            *[pl.BlockSpec(
-                (1, B, D),
-                (lambda k: lambda ti, s: (
-                    jnp.clip(ti - k, 0, Tp), 0, 0))(k),
-                memory_space=pltpu.VMEM) for k in range(K)],
+            # dp_k is tau-indexed (row tau = cotangent of prediction
+            # t = tau-1-k); out-of-window rows are exact zeros via the
+            # validity mask, and the caller slices rows [1+k, 1+k+Tp) to
+            # recover t-indexing — no clamped-write ordering tricks.
+            *[pl.BlockSpec((G, B, D), lambda ti, s: (ti, 0, 0),
+                           memory_space=pltpu.VMEM) for _ in range(K)],
         ],
     )
     wire = p.dtype
     dz, *dps = pl.pallas_call(
-        functools.partial(_bwd_kernel, K=K, B=B, C=C, Tp=Tp),
+        functools.partial(_bwd_kernel, K=K, B=B, C=C, Tp=Tp, G=G),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((T, C, D), jnp.float32),
-            *[jax.ShapeDtypeStruct((Tp + 1, B, D), wire) for _ in range(K)],
+            *[jax.ShapeDtypeStruct((T, B, D), wire) for _ in range(K)],
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=6 * (T - 1) * K * B * C * D,
-            bytes_accessed=2 * (T - 1) * (2 * K * B * D + 2 * C * D),
-            transcendentals=(T - 1) * K * B * C,
+            flops=6 * T * K * B * C * D,
+            bytes_accessed=2 * T * (2 * K * B * D + 2 * C * D),
+            transcendentals=T * K * B * C,
         ),
     )(jnp.asarray([shift], jnp.int32),
       g_nll.astype(jnp.float32).reshape(T, 1, K * B),
-      *([p] * K), z_tm)
-    # tau = 0 is never a target: its dz block is unwritten garbage.
-    dz = dz.at[0].set(0.0).astype(z_tm.dtype)
+      *([p] * (G * K)), z_tm)
+    dz = dz.astype(z_tm.dtype)  # row tau=0 is exact zeros (masked in-kernel)
 
     c_v = c_tm[:Tp].reshape(Tp * B, A)
     dc_v = jnp.zeros((Tp * B, A), jnp.float32)
     dW_cols = []
     for k in range(K):
-        dp_k = dps[k][:Tp].reshape(Tp * B, D)
+        dp_k = dps[k][1 + k:1 + k + Tp].reshape(Tp * B, D)
         W_k = W[:, k * D:(k + 1) * D]
         dc_v = dc_v + jax.lax.dot_general(
             dp_k, W_k, dimension_numbers=(((1,), (1,)), ((), ())),

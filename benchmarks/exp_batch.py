@@ -27,7 +27,7 @@ def main():
 
     base = presets.tpu_fast()
     mesh = make_mesh((-1,), ("data",))
-    for B in (64, 96, 128, 192):
+    for B in (64, 96, 128):
         cfg = dataclasses.replace(
             base, data=dataclasses.replace(base.data, batch_size=B))
         model = CPCModel(cfg.model)

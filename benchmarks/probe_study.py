@@ -35,6 +35,11 @@ def main() -> None:
     p.add_argument("--milestones", default="0,500,1000,2000,4000")
     p.add_argument("--corpus", default=None,
                    help="existing corpus dir (default: generate synthetic)")
+    p.add_argument("--style", default="speech", choices=["speech", "dynamics"],
+                   help="'dynamics' hides speaker identity in phone-"
+                        "transition statistics (uniform stationary dist), so "
+                        "the speaker probe measures learned temporal "
+                        "structure, not static spectra")
     p.add_argument("--speakers", type=int, default=32)
     p.add_argument("--files-per-speaker", type=int, default=4)
     p.add_argument("--seconds-per-file", type=float, default=8.0)
@@ -66,7 +71,7 @@ def main() -> None:
         corpus = os.path.join(args.workdir, "corpus")
         if not os.path.isdir(corpus):
             generate_synthetic_corpus(
-                corpus, num_speakers=args.speakers,
+                corpus, style=args.style, num_speakers=args.speakers,
                 files_per_speaker=args.files_per_speaker,
                 seconds_per_file=args.seconds_per_file, seed=123)
     train_ds = SnippetDataset(corpus, cfg.data.snippet_samples)

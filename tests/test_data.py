@@ -1,6 +1,7 @@
 """Data layer tests: WAV round-trip, snippet index arithmetic (SURVEY.md
 §4.4 contract), loader determinism and resume."""
 
+import os
 import numpy as np
 import pytest
 
@@ -256,3 +257,49 @@ def test_cache_type_budgets_independent(corpus):
         cache.get(p)  # churn the float LRU well past its budget
     assert a in cache._i16  # int16 entry survived float evictions
     assert len(cache._float) <= 2
+
+
+def test_dynamics_corpus_hides_speaker_in_transitions(tmp_path):
+    """The 'dynamics' style (probe-study hard mode): every speaker's phone
+    chain has a uniform stationary distribution (doubly stochastic
+    transitions), so pooled phone statistics carry no speaker identity —
+    only the transition structure does, and it must differ per speaker."""
+    from cpc_tpu.data.synthetic import (NUM_PHONES, generate_synthetic_corpus,
+                                        speaker_transition_matrices)
+
+    root = tmp_path / "dyn"
+    paths = generate_synthetic_corpus(
+        str(root), style="dynamics", num_speakers=4, files_per_speaker=2,
+        seconds_per_file=20.0, seed=7)
+    assert len(paths) == 8
+
+    emp = []
+    for spk in range(4):
+        prefix = str(root / str(spk)) + os.sep
+        labels = np.concatenate([
+            np.load(p.replace(".wav", ".phones.npy"))
+            for p in paths if p.startswith(prefix)])
+        # uniform stationary distribution: each phone ~1/P of samples.
+        # The chain mixes slowly (alpha=0.75), so a 40 s sample has ~0.05
+        # std per bin — this is a sanity bound; the exact property is the
+        # doubly-stochastic row/column sums asserted below.
+        hist = np.bincount(labels, minlength=NUM_PHONES) / len(labels)
+        np.testing.assert_allclose(hist, 1 / NUM_PHONES, atol=0.15)
+        # empirical transition matrix (segment-level)
+        segs = labels[np.flatnonzero(np.diff(labels) != 0)]
+        nxt = labels[np.flatnonzero(np.diff(labels) != 0) + 1]
+        T = np.zeros((NUM_PHONES, NUM_PHONES))
+        for a, b in zip(segs, nxt):
+            T[a, b] += 1
+        T /= np.maximum(T.sum(1, keepdims=True), 1)
+        emp.append(T)
+    # per-speaker dominant next-phone maps are permutations, all distinct
+    perms = [tuple(np.argmax(T, axis=1)) for T in emp]
+    for p in perms:
+        assert sorted(p) == list(range(NUM_PHONES)), p
+    assert len(set(perms)) == 4
+
+    # the matrix builder itself is doubly stochastic
+    mats = speaker_transition_matrices(6, np.random.default_rng(0))
+    np.testing.assert_allclose(mats.sum(1), 1.0, atol=1e-9)
+    np.testing.assert_allclose(mats.sum(2), 1.0, atol=1e-9)

@@ -1,0 +1,120 @@
+"""Constant-memory streaming feature extraction (SURVEY.md §4.5 — the
+Immersions-style real-time consumer).
+
+`extract_features` (cpc_tpu.eval.features) computes trajectories over a
+finite stream in sliding windows: latency = one window, and each window
+recomputes its warm-up context. `StreamingExtractor` instead carries exact
+state across arbitrary chunks:
+
+  * encoder: a residual sample buffer of `receptive_field - 1` samples. The
+    conv pyramid is applied with VALID padding over `residual + chunk`,
+    which emits exactly the latents whose full receptive field is available
+    — bit-equal to a VALID forward over the whole stream (the stride
+    pyramid consumes blocks of `downsample` samples exactly, so chunk
+    boundaries can never shift alignment).
+  * gar: the GRU hidden state (num_layers, 1, H) is threaded between chunks
+    (CPCModel.context_with_state), so c is the same recurrence as offline.
+
+Latency is one chunk + receptive_field/2 instead of one window, and memory
+is O(receptive_field + chunk), independent of stream length.
+
+Contracts and deviations (explicit):
+  * VALID semantics. The repo's training default is SAME padding (20480 →
+    128 latents); a VALID stream forward equals the SAME forward everywhere
+    except the zero-padded stream edges, and equals the reference's
+    torch-default VALID semantics exactly (SURVEY.md §8.5 risk 1).
+  * Normalization: training normalizes per 1.28 s snippet, which a stream
+    cannot reproduce (it needs the whole snippet before its first sample).
+    Pass corpus-level `stats=(mean, std)` for a fixed affine normalization,
+    or None for raw samples.
+  * One stream per extractor (B = 1); transformer gar is rejected (no
+    constant-size recurrent state — use windowed extract_features).
+
+jit note: each distinct buffer length compiles once. With a fixed chunk
+size the residual length reaches a fixed point after the first push, so a
+steady stream uses exactly two compiled shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cpc_tpu.models.cpc import CPCModel
+
+
+def receptive_field(kernels, strides) -> Tuple[int, int]:
+    """(receptive_field, total_downsample) of a strided conv pyramid:
+    latent t depends on samples [t*down, t*down + rf)."""
+    rf, jump = 1, 1
+    for k, s in zip(kernels, strides):
+        rf += (k - 1) * jump
+        jump *= s
+    return rf, jump
+
+
+class StreamingExtractor:
+    """Feed chunks with push(), collect (z, c) increments; reset() restarts.
+
+    Equality contract (tested): concatenating every push()'s outputs equals
+    the offline VALID forward of the concatenated stream, elementwise."""
+
+    def __init__(self, model: CPCModel, params, *,
+                 stats: Optional[Tuple[float, float]] = None):
+        cfg = model.config
+        if cfg.encoder.kind != "conv1d":
+            raise ValueError(
+                "streaming extraction supports the conv1d encoder only "
+                f"(got {cfg.encoder.kind!r}); the scalogram front-end is "
+                "frame-based — use windowed extract_features")
+        if cfg.ar.kind != "gru":
+            raise ValueError(
+                "streaming extraction requires the GRU gar (constant-size "
+                "state); use windowed extract_features for the transformer")
+        # VALID-padding clone sharing the exact parameter tree (padding does
+        # not change parameter shapes); the fused Pallas pyramid is
+        # SAME-only, so route through the XLA convs.
+        enc = dataclasses.replace(cfg.encoder, padding="VALID",
+                                  use_pallas=False)
+        self._model = CPCModel(dataclasses.replace(cfg, encoder=enc))
+        self._params = params
+        self.rf, self.down = receptive_field(cfg.encoder.kernels,
+                                             cfg.encoder.strides)
+        self._stats = None if stats is None else (float(stats[0]),
+                                                  float(stats[1]))
+        self._fwd = jax.jit(self._forward)
+        self.reset()
+
+    def reset(self) -> None:
+        self._resid = np.zeros(0, np.float32)
+        self._h = None  # (num_layers, 1, H) after the first push
+
+    def _forward(self, params, buf, h):
+        x = buf[None, :]  # (1, L)
+        if self._stats is not None:
+            mean, std = self._stats
+            x = (x - mean) / std
+        z = self._model.apply(params, x, method=CPCModel.encode)
+        c, h = self._model.apply(params, z, h,
+                                 method=CPCModel.context_with_state)
+        return z, c, h
+
+    def push(self, chunk: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """chunk (T,) float32 -> (z (n_new, d_enc), c (n_new, d_ar)); n_new
+        is however many latents' receptive fields completed, possibly 0."""
+        buf = np.concatenate([self._resid, np.asarray(chunk, np.float32)])
+        if len(buf) < self.rf:
+            self._resid = buf
+            d_enc = self._model.config.encoder.d_enc
+            d_ar = self._model.config.ar.d_ar
+            return (np.zeros((0, d_enc), np.float32),
+                    np.zeros((0, d_ar), np.float32))
+        n = (len(buf) - self.rf) // self.down + 1
+        window = buf[:self.rf + (n - 1) * self.down]
+        z, c, self._h = self._fwd(self._params, jnp.asarray(window), self._h)
+        self._resid = buf[n * self.down:]
+        return np.asarray(z[0], np.float32), np.asarray(c[0], np.float32)

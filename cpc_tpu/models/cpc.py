@@ -92,3 +92,15 @@ class CPCModel(nn.Module):
     def context(self, x: jnp.ndarray) -> jnp.ndarray:
         """Standalone context c (feature-extraction API, SURVEY.md §4.5)."""
         return self._gar(self.encoder(x), train=False)
+
+    def context_with_state(self, z: jnp.ndarray, h0=None):
+        """(c, final GRU hidden (num_layers, B, H)) from latents z — the
+        state-carry hook for constant-memory streaming extraction
+        (cpc_tpu.eval.streaming). GRU gar only: a causal transformer has no
+        constant-size recurrent state to carry."""
+        if self.config.ar.kind != "gru":
+            raise ValueError(
+                "context_with_state requires the GRU gar; the transformer "
+                "variant has no constant-size carry (use windowed "
+                "extract_features instead)")
+        return self.gar(z, h0=h0, return_state=True)

@@ -36,9 +36,14 @@ class GRU(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, h0: Optional[jnp.ndarray] = None
-    ) -> jnp.ndarray:
+        self, x: jnp.ndarray, h0: Optional[jnp.ndarray] = None,
+        return_state: bool = False,
+    ):
+        """h0/state layout: (num_layers, B, H). With return_state, returns
+        (output, final_state) — feeding final_state back as h0 continues the
+        recurrence exactly (the streaming consumer, SURVEY.md §4.5)."""
         h = x.astype(self.dtype)
+        finals = []
         for layer in range(self.num_layers):
             h = _GRULayer(
                 hidden_size=self.hidden_size,
@@ -47,6 +52,10 @@ class GRU(nn.Module):
                 use_pallas=self.use_pallas,
                 name=f"layer{layer}",
             )(h, None if h0 is None else h0[layer])
+            if return_state:
+                finals.append(h[:, -1])
+        if return_state:
+            return h, jnp.stack(finals)
         return h
 
 

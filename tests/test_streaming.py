@@ -1,0 +1,102 @@
+"""Streaming extractor (cpc_tpu/eval/streaming.py): chunked push() output
+must equal the offline VALID forward of the whole stream, with the GRU
+state carried exactly across chunk boundaries (SURVEY.md §4.5)."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from cpc_tpu.config import ArConfig, CPCConfig, DataConfig, EncoderConfig, ModelConfig
+from cpc_tpu.eval.streaming import StreamingExtractor, receptive_field
+from cpc_tpu.models.cpc import CPCModel
+
+
+def _model(num_layers=1, ar_kind="gru", enc_kind="conv1d"):
+    cfg = ModelConfig(
+        encoder=EncoderConfig(kind=enc_kind, channels=(24, 24, 24),
+                              kernels=(10, 8, 4), strides=(5, 4, 2),
+                              d_enc=24),
+        ar=ArConfig(kind=ar_kind, d_ar=16, num_layers=num_layers),
+    )
+    model = CPCModel(cfg)
+    x = np.zeros((1, 2000), np.float32)
+    params = model.init(jax.random.key(0), x)
+    return model, params, cfg
+
+
+def _offline_valid(model, params, cfg, wave):
+    enc = dataclasses.replace(cfg.encoder, padding="VALID", use_pallas=False)
+    vmodel = CPCModel(dataclasses.replace(cfg, encoder=enc))
+    z = vmodel.apply(params, wave[None, :], method=CPCModel.encode)
+    c = vmodel.apply(params, z, method=lambda m, z: m.gar(z))
+    return np.asarray(z[0]), np.asarray(c[0])
+
+
+def test_receptive_field_arithmetic():
+    rf, down = receptive_field((10, 8, 4, 4, 4), (5, 4, 2, 2, 2))
+    assert down == 160
+    assert rf == 1 + 9 + 7 * 5 + 3 * 20 + 3 * 40 + 3 * 80  # 465
+
+
+@pytest.mark.parametrize("num_layers", [1, 2])
+def test_streaming_equals_offline(num_layers):
+    model, params, cfg = _model(num_layers=num_layers)
+    rng = np.random.default_rng(3)
+    wave = rng.standard_normal(4321).astype(np.float32) * 0.3
+
+    ex = StreamingExtractor(model, params)
+    # ragged chunks, including one too short to emit anything
+    cuts = [0, 700, 713, 1500, 2900, 4321]
+    zs, cs = [], []
+    for a, b in zip(cuts[:-1], cuts[1:]):
+        z, c = ex.push(wave[a:b])
+        zs.append(z)
+        cs.append(c)
+    z_s = np.concatenate(zs)
+    c_s = np.concatenate(cs)
+
+    z_off, c_off = _offline_valid(model, params, cfg, wave)
+    # streaming can only emit latents with a COMPLETE receptive field; the
+    # offline forward has the same count by the stride arithmetic
+    assert z_s.shape == z_off.shape, (z_s.shape, z_off.shape)
+    np.testing.assert_allclose(z_s, z_off, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(c_s, c_off, rtol=1e-5, atol=1e-5)
+
+    # reset() restarts the stream identically
+    ex.reset()
+    z2, _ = ex.push(wave)
+    np.testing.assert_allclose(z2, z_off, rtol=1e-5, atol=1e-5)
+
+
+def test_streaming_normalization_stats():
+    model, params, cfg = _model()
+    rng = np.random.default_rng(4)
+    wave = rng.standard_normal(2000).astype(np.float32)
+    ex = StreamingExtractor(model, params, stats=(0.1, 2.0))
+    z, _ = ex.push(wave)
+    z_off, _ = _offline_valid(model, params, cfg, (wave - 0.1) / 2.0)
+    np.testing.assert_allclose(z, z_off, rtol=1e-5, atol=1e-5)
+
+
+def test_streaming_rejects_unsupported_variants():
+    model, params, _ = _model(ar_kind="transformer")
+    with pytest.raises(ValueError, match="GRU gar"):
+        StreamingExtractor(model, params)
+
+
+def test_gru_state_carry_matches_full_run():
+    """The return_state hook itself: two half-sequences with carried state
+    == one full run (multi-layer)."""
+    import jax.numpy as jnp
+    from cpc_tpu.models.gru import GRU
+    gru = GRU(hidden_size=8, num_layers=2)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 12, 6)),
+                    jnp.float32)
+    params = gru.init(jax.random.key(1), x)
+    full = gru.apply(params, x)
+    a, ha = gru.apply(params, x[:, :5], None, True)
+    b, _ = gru.apply(params, x[:, 5:], ha, True)
+    np.testing.assert_allclose(np.concatenate([a, b], axis=1), full,
+                               rtol=1e-6, atol=1e-6)

@@ -21,7 +21,6 @@ def timeit(fn, args, iters=300):
     out = None
     for _ in range(3):
         out = fn(*args)
-    jax.tree.map(lambda a: None, out)
     leaf = jax.tree.leaves(out)[0]
     float(np.asarray(leaf).reshape(-1)[0])
     t0 = time.perf_counter()

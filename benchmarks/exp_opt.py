@@ -29,7 +29,8 @@ def main():
     cfg = presets.tpu_fast()
     model = CPCModel(cfg.model)
     K = cfg.model.loss.prediction_steps
-    kdtype = jnp.bfloat16
+    kdtype = (jnp.bfloat16 if cfg.model.loss.pallas_bf16
+              else jnp.float32)
 
     def loss_fn(p, b):
         x = device_prepare(b, normalize=cfg.data.normalize)

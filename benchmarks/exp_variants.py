@@ -44,8 +44,7 @@ def bench_cfg(cfg, label, iters=300):
 
 
 def main():
-    from cpc_tpu.config import (ArConfig, DataConfig, EncoderConfig,
-                                LossConfig, ModelConfig, presets)
+    from cpc_tpu.config import ArConfig, EncoderConfig, presets
 
     fast = presets.tpu_fast()
     bench_cfg(fast, "gru + conv1d (headline)")

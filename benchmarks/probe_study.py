@@ -68,7 +68,10 @@ def main() -> None:
 
     corpus = args.corpus
     if corpus is None:
-        corpus = os.path.join(args.workdir, "corpus")
+        # style-keyed dir: a cached corpus of another style must never be
+        # silently reused (it would reintroduce the spectral-identity
+        # confound the dynamics style exists to remove)
+        corpus = os.path.join(args.workdir, f"corpus_{args.style}")
         if not os.path.isdir(corpus):
             generate_synthetic_corpus(
                 corpus, style=args.style, num_speakers=args.speakers,

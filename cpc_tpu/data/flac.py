@@ -1,7 +1,9 @@
 """ctypes binding for the native FLAC decoder (cpc_tpu/data/native/flacdec.cpp).
 
 Builds the shared library on first use (g++ is baked into the image; no
-pybind11, per environment constraints) and caches it next to the source.
+pybind11, per environment constraints) and caches it next to the source —
+or, when the package directory is read-only (pip-installed into system
+site-packages), under ~/.cache/cpc_tpu keyed by source mtime.
 Registered automatically as the '.flac' decoder by cpc_tpu.data.dataset.
 """
 
@@ -17,14 +19,27 @@ import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
 _SRC = os.path.join(_NATIVE_DIR, "flacdec.cpp")
-_SO = os.path.join(_NATIVE_DIR, "_flacdec.so")
 
 _lock = threading.Lock()
 _lib = None
 
 
-def _build() -> None:
-    cmd = ["g++", "-O2", "-fPIC", "-shared", "-std=c++17", "-o", _SO, _SRC]
+def _so_path() -> str:
+    """Preferred build target next to the source; a per-source-mtime file
+    under ~/.cache/cpc_tpu when the package dir is not writable."""
+    if os.access(_NATIVE_DIR, os.W_OK):
+        return os.path.join(_NATIVE_DIR, "_flacdec.so")
+    cache = os.path.join(
+        os.environ.get("XDG_CACHE_HOME",
+                       os.path.join(os.path.expanduser("~"), ".cache")),
+        "cpc_tpu")
+    os.makedirs(cache, exist_ok=True)
+    return os.path.join(
+        cache, f"_flacdec-{int(os.path.getmtime(_SRC))}.so")
+
+
+def _build(so: str) -> None:
+    cmd = ["g++", "-O2", "-fPIC", "-shared", "-std=c++17", "-o", so, _SRC]
     subprocess.run(cmd, check=True, capture_output=True)
 
 
@@ -33,10 +48,11 @@ def _load():
     with _lock:
         if _lib is not None:
             return _lib
-        if (not os.path.exists(_SO)
-                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-            _build()
-        lib = ctypes.CDLL(_SO)
+        so = _so_path()
+        if (not os.path.exists(so)
+                or os.path.getmtime(so) < os.path.getmtime(_SRC)):
+            _build(so)
+        lib = ctypes.CDLL(so)
         lib.flac_decode_file.restype = ctypes.c_int
         lib.flac_decode_file.argtypes = [
             ctypes.c_char_p,

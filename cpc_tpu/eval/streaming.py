@@ -26,13 +26,21 @@ Contracts and deviations (explicit):
   * Normalization: training normalizes per 1.28 s snippet, which a stream
     cannot reproduce (it needs the whole snippet before its first sample).
     Pass corpus-level `stats=(mean, std)` for a fixed affine normalization,
-    or None for raw samples.
+    or None for raw samples. Encoder norms whose statistics span the time
+    axis (norm='batch'/'group') are rejected for the same reason; 'layer'
+    normalizes per position and streams exactly.
+  * Compute is fp32 regardless of the training dtype: params are the fp32
+    masters, inference features gain precision for free, and the fp32
+    lax.scan GRU carry makes chunking exactly associative (the bf16 Pallas
+    training path keeps fp32 hidden state in kernel scratch that cannot be
+    carried across calls).
   * One stream per extractor (B = 1); transformer gar is rejected (no
     constant-size recurrent state — use windowed extract_features).
 
-jit note: each distinct buffer length compiles once. With a fixed chunk
-size the residual length reaches a fixed point after the first push, so a
-steady stream uses exactly two compiled shapes.
+jit note: the jitted input is the sliced VALID window (rf + (n-1)*down
+samples), not the raw buffer, so a fixed chunk size settles into at most
+two window lengths after the first push — three compiled shapes total,
+whatever the chunk size's remainder mod `down`.
 """
 
 from __future__ import annotations
@@ -75,12 +83,21 @@ class StreamingExtractor:
             raise ValueError(
                 "streaming extraction requires the GRU gar (constant-size "
                 "state); use windowed extract_features for the transformer")
-        # VALID-padding clone sharing the exact parameter tree (padding does
-        # not change parameter shapes); the fused Pallas pyramid is
-        # SAME-only, so route through the XLA convs.
+        if cfg.encoder.norm in ("batch", "group"):
+            raise ValueError(
+                f"encoder norm {cfg.encoder.norm!r} computes statistics over "
+                "the time axis, so chunked output would silently diverge "
+                "from the offline forward; streaming supports norm "
+                "'none'/'layer' (use windowed extract_features otherwise)")
+        # VALID-padding fp32 clone sharing the exact parameter tree (padding
+        # and compute dtype do not change parameter shapes); the fused
+        # Pallas pyramid is SAME-only and the Pallas GRU cannot export its
+        # fp32 scratch state, so route through XLA convs + lax.scan.
         enc = dataclasses.replace(cfg.encoder, padding="VALID",
                                   use_pallas=False)
-        self._model = CPCModel(dataclasses.replace(cfg, encoder=enc))
+        ar = dataclasses.replace(cfg.ar, use_pallas=False)
+        self._model = CPCModel(dataclasses.replace(
+            cfg, encoder=enc, ar=ar, dtype="float32"))
         self._params = params
         self.rf, self.down = receptive_field(cfg.encoder.kernels,
                                              cfg.encoder.strides)

@@ -27,8 +27,11 @@ def _model(num_layers=1, ar_kind="gru", enc_kind="conv1d"):
 
 
 def _offline_valid(model, params, cfg, wave):
+    # same clone the extractor builds: VALID, fp32, lax.scan GRU
     enc = dataclasses.replace(cfg.encoder, padding="VALID", use_pallas=False)
-    vmodel = CPCModel(dataclasses.replace(cfg, encoder=enc))
+    ar = dataclasses.replace(cfg.ar, use_pallas=False)
+    vmodel = CPCModel(dataclasses.replace(cfg, encoder=enc, ar=ar,
+                                          dtype="float32"))
     z = vmodel.apply(params, wave[None, :], method=CPCModel.encode)
     c = vmodel.apply(params, z, method=lambda m, z: m.gar(z))
     return np.asarray(z[0]), np.asarray(c[0])
@@ -84,6 +87,37 @@ def test_streaming_rejects_unsupported_variants():
     model, params, _ = _model(ar_kind="transformer")
     with pytest.raises(ValueError, match="GRU gar"):
         StreamingExtractor(model, params)
+    # time-axis norm statistics cannot stream
+    cfg = ModelConfig(
+        encoder=EncoderConfig(channels=(8, 8), kernels=(10, 8),
+                              strides=(5, 4), d_enc=8, norm="group"),
+        ar=ArConfig(d_ar=8))
+    m2 = CPCModel(cfg)
+    p2 = m2.init(jax.random.key(0), np.zeros((1, 400), np.float32))
+    with pytest.raises(ValueError, match="time axis"):
+        StreamingExtractor(m2, p2)
+
+
+def test_streaming_bf16_model_streams_in_fp32():
+    """A bf16 + Pallas-GRU training config streams exactly: the extractor's
+    fp32 lax.scan clone is chunk-associative regardless of training dtype."""
+    cfg = ModelConfig(
+        encoder=EncoderConfig(channels=(16, 16), kernels=(10, 8),
+                              strides=(5, 4), d_enc=16),
+        ar=ArConfig(d_ar=8, use_pallas=True),
+        dtype="bfloat16")
+    model = CPCModel(cfg)
+    wave = np.random.default_rng(5).standard_normal(3000).astype(np.float32)
+    params = model.init(jax.random.key(2), wave[None, :])
+    ex = StreamingExtractor(model, params)
+    zs, cs = [], []
+    for a, b in [(0, 900), (900, 1777), (1777, 3000)]:
+        z, c = ex.push(wave[a:b])
+        zs.append(z); cs.append(c)
+    z_off, c_off = _offline_valid(model, params, cfg, wave)
+    np.testing.assert_allclose(np.concatenate(zs), z_off, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.concatenate(cs), c_off, rtol=1e-5, atol=1e-5)
+    assert zs[0].dtype == np.float32
 
 
 def test_gru_state_carry_matches_full_run():

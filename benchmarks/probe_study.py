@@ -46,6 +46,9 @@ def main() -> None:
     p.add_argument("--augment", action="store_true",
                    help="on-device gain/noise/shift augmentation (curbs "
                         "overfit on the small synthetic corpus)")
+    p.add_argument("--probe-seeds", type=int, default=3,
+                   help="probe train/eval-split seeds per milestone; "
+                        "speaker_acc is reported mean +/- std across them")
     p.add_argument("--workdir", default="/tmp/probe_study")
     args = p.parse_args()
     milestones = sorted(int(s) for s in args.milestones.split(","))
@@ -94,16 +97,30 @@ def main() -> None:
                               "secs": round(time.time() - t0, 1)}),
                   flush=True)
             prev = ms
-        spk = run_speaker_probe(model, tr.params, probe_ds,
-                                max_snippets=800, steps=400,
-                                normalize=cfg.data.normalize)
+        import numpy as np
+        spk_accs = []
+        for ps in range(args.probe_seeds):
+            spk = run_speaker_probe(model, tr.params, probe_ds,
+                                    max_snippets=800, steps=400, seed=ps,
+                                    normalize=cfg.data.normalize)
+            spk_accs.append(spk.accuracy)
+        # utterance pooling collapses ~9 snippets into one item, so it needs
+        # the WHOLE corpus to keep enough items per class (800 snippets
+        # would leave ~2 train utterances per speaker — probe-data starved)
+        utt = run_speaker_probe(model, tr.params, probe_ds,
+                                max_snippets=len(probe_ds), steps=400,
+                                normalize=cfg.data.normalize,
+                                pool="utterance")
         ph = run_phone_probe(model, tr.params, probe_ds, feature="z",
                              max_snippets=200, steps=400,
                              normalize=cfg.data.normalize)
         row = {"step": ms,
-               "speaker_acc": round(spk.accuracy, 4),
+               "speaker_acc": round(float(np.mean(spk_accs)), 4),
+               "speaker_acc_std": round(float(np.std(spk_accs)), 4),
                "speaker_eval_n": spk.num_eval,
                "speaker_classes": spk.num_classes,
+               "speaker_utt_acc": round(utt.accuracy, 4),
+               "speaker_utt_eval_n": utt.num_eval,
                "phone_acc": round(ph.accuracy, 4),
                "phone_eval_n": ph.num_eval,
                "phone_classes": ph.num_classes}

@@ -104,8 +104,15 @@ def run_speaker_probe(
     model: CPCModel, params, dataset: ProbeDataset, *,
     feature: str = "c", max_snippets: int = 512, eval_frac: float = 0.25,
     steps: int = 300, seed: int = 0, normalize: bool = True,
+    pool: str = "snippet",
 ) -> LinearProbeResult:
-    """Mean-pooled utterance features -> speaker id (BASELINE.json:11)."""
+    """Mean-pooled features -> speaker id (BASELINE.json:11).
+
+    pool='snippet' (default) classifies each 1.28 s snippet's mean-pooled
+    feature; pool='utterance' averages all of a source file's snippet
+    features first — the longer horizon raises the information ceiling when
+    speaker identity lives in temporal statistics (the dynamics corpus),
+    at the cost of fewer eval items."""
     n = min(len(dataset), max_snippets)
     snippets, labels = [], []
     for i in range(n):
@@ -116,7 +123,16 @@ def run_speaker_probe(
                      normalize=normalize)
     pooled = feats.mean(axis=1)  # (N, d)
     y = np.asarray(labels)
-    tr, ev = _split(n, eval_frac, seed)
+    if pool == "utterance":
+        groups: dict = {}
+        for i in range(n):
+            groups.setdefault(dataset.locate(i)[0], []).append(i)
+        idx_groups = list(groups.values())
+        pooled = np.stack([pooled[ix].mean(axis=0) for ix in idx_groups])
+        y = np.asarray([y[ix[0]] for ix in idx_groups])
+    elif pool != "snippet":
+        raise ValueError(f"pool must be 'snippet'|'utterance', got {pool!r}")
+    tr, ev = _split(len(pooled), eval_frac, seed)
     acc = _train_linear(pooled[tr], y[tr], pooled[ev], y[ev],
                         dataset.num_speakers, steps=steps, seed=seed)
     return LinearProbeResult(acc, dataset.num_speakers, len(tr), len(ev),

@@ -27,9 +27,12 @@ Semantics match cpc_tpu.ops.infonce exactly (same_step negatives,
 cross-replica shift): preds[t, k] = c[t] @ W[:, kD:(k+1)D] scores against
 z[tau = t+k+1] over the C-way candidate pool, positives at shift + b.
 
-VMEM: the score tile is (K*B, C) fp32; with the usual K=12 this supports
-C (global candidate batch) up to ~1024 per 16 MB core. Callers fall back to
-cpc_tpu.ops.infonce_pallas (K-tiled) beyond that.
+VMEM: the score tile is (K*B, C) fp32; the theoretical bound with K=12 is
+C (global candidate batch) ~1024 per 16 MB core (`_C_LIMIT`), but the
+MEASURED v5e envelope is C <= 128 (C=192 fails the scoped-vmem compile,
+C=512 compile did not finish — docs/DESIGN.md "the last millisecond").
+A trace-time warning fires above 128; use cpc_tpu.ops.infonce_pallas
+(K-tiled) via loss.fuse_heads=False beyond the envelope.
 """
 
 from __future__ import annotations
@@ -343,6 +346,14 @@ def fused_heads_infonce(
             f"global candidate pool C={C} exceeds the (K*B, C) fp32 VMEM "
             f"tile budget ({_C_LIMIT}); use loss.fuse_heads=False (the "
             f"K-tiled cpc_tpu.ops.infonce_pallas path) for this config")
+    if C > 128 and not interpret:
+        import warnings
+        warnings.warn(
+            f"fused heads+InfoNCE with candidate pool C={C}: the measured "
+            "v5e envelope is C<=128 (C=192 fails scoped-vmem compile, "
+            "C=512 compile did not finish — docs/DESIGN.md); if compilation "
+            "fails or stalls, set loss.fuse_heads=False",
+            stacklevel=2)
     nll, correct = _heads_nll(c_tm, z_tm, W,
                               jnp.asarray(shift, jnp.int32), K, interpret)
     mask = validity_mask_tm(T, K, B, Tp)

@@ -163,3 +163,14 @@ def test_partial_tail_block_with_partitions(tmp_path):
     # instead of erroring (real encoders do the same)
     _roundtrip_exact(tmp_path, "tailpart", _sig(n=4097), subframe="fixed2",
                      partition_order=2, block_size=4096)
+
+
+def test_so_path_read_only_package_dir(monkeypatch, tmp_path):
+    """pip-installed site-packages can be read-only: the .so build target
+    must fall back to a user cache dir keyed by source mtime."""
+    import cpc_tpu.data.flac as flacmod
+    monkeypatch.setattr(flacmod.os, "access", lambda p, m: False)
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    so = flacmod._so_path()
+    assert so.startswith(str(tmp_path))
+    assert so.endswith(".so") and "cpc_tpu" in so

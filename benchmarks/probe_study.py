@@ -46,6 +46,13 @@ def main() -> None:
     p.add_argument("--augment", action="store_true",
                    help="on-device gain/noise/shift augmentation (curbs "
                         "overfit on the small synthetic corpus)")
+    p.add_argument("--negatives", default=None,
+                   choices=["same_step", "all_steps"],
+                   help="override the loss pool. same_step negatives all "
+                        "come from OTHER utterances, so InfoNCE is solvable "
+                        "by matching per-utterance signatures (f0) — the "
+                        "classic CPC shortcut. all_steps adds same-utterance "
+                        "candidates, forcing temporal content")
     p.add_argument("--probe-seeds", type=int, default=3,
                    help="probe train/eval-split seeds per milestone; "
                         "speaker_acc is reported mean +/- std across them")
@@ -56,7 +63,8 @@ def main() -> None:
     from cpc_tpu.config import presets
     from cpc_tpu.data.dataset import ProbeDataset, SnippetDataset
     from cpc_tpu.data.synthetic import generate_synthetic_corpus
-    from cpc_tpu.eval.probes import run_phone_probe, run_speaker_probe
+    from cpc_tpu.eval.probes import (extract_speaker_features,
+                                     probe_speaker_features, run_phone_probe)
     from cpc_tpu.models.cpc import CPCModel
     from cpc_tpu.train.trainer import Trainer
 
@@ -68,6 +76,12 @@ def main() -> None:
                                   log_every=200, eval_every=10**9,
                                   checkpoint_every=10**9),
     )
+    if args.negatives:
+        # fuse_heads is same_step-only; make_step_fns falls back to the
+        # (streaming Pallas) all-steps path automatically
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, loss=dataclasses.replace(
+                cfg.model.loss, negatives=args.negatives)))
 
     corpus = args.corpus
     if corpus is None:
@@ -98,27 +112,40 @@ def main() -> None:
                   flush=True)
             prev = ms
         import numpy as np
-        spk_accs = []
+        # ONE feature sweep per milestone (extraction dominates probe cost),
+        # then every split/seed probes the cached features.
+        pooled, ylab, files = extract_speaker_features(
+            model, tr.params, probe_ds, max_snippets=len(probe_ds),
+            normalize=cfg.data.normalize)
+        n_spk = probe_ds.num_speakers
+        # HEADLINE: file-disjoint split — eval snippets come from utterances
+        # the probe never saw. The snippet-level split leaks per-utterance
+        # signatures (each file draws its own f0), so it overstates
+        # speaker-ID; reported alongside for comparison.
+        file_accs, snip_accs = [], []
         for ps in range(args.probe_seeds):
-            spk = run_speaker_probe(model, tr.params, probe_ds,
-                                    max_snippets=800, steps=400, seed=ps,
-                                    normalize=cfg.data.normalize)
-            spk_accs.append(spk.accuracy)
-        # utterance pooling collapses ~9 snippets into one item, so it needs
-        # the WHOLE corpus to keep enough items per class (800 snippets
-        # would leave ~2 train utterances per speaker — probe-data starved)
-        utt = run_speaker_probe(model, tr.params, probe_ds,
-                                max_snippets=len(probe_ds), steps=400,
-                                normalize=cfg.data.normalize,
-                                pool="utterance")
+            spk_f = probe_speaker_features(pooled, ylab, files, n_spk,
+                                           steps=400, seed=ps, split="file")
+            file_accs.append(spk_f.accuracy)
+            spk_s = probe_speaker_features(pooled[:800], ylab[:800],
+                                           files[:800], n_spk,
+                                           steps=400, seed=ps)
+            snip_accs.append(spk_s.accuracy)
+        # utterance pooling collapses ~9 snippets into one item, so it uses
+        # the WHOLE corpus to keep enough items per class
+        utt = probe_speaker_features(pooled, ylab, files, n_spk, steps=400,
+                                     pool="utterance")
         ph = run_phone_probe(model, tr.params, probe_ds, feature="z",
                              max_snippets=200, steps=400,
                              normalize=cfg.data.normalize)
         row = {"step": ms,
-               "speaker_acc": round(float(np.mean(spk_accs)), 4),
-               "speaker_acc_std": round(float(np.std(spk_accs)), 4),
-               "speaker_eval_n": spk.num_eval,
-               "speaker_classes": spk.num_classes,
+               "speaker_file_acc": round(float(np.mean(file_accs)), 4),
+               "speaker_file_acc_std": round(float(np.std(file_accs)), 4),
+               "speaker_file_eval_n": spk_f.num_eval,
+               "speaker_acc": round(float(np.mean(snip_accs)), 4),
+               "speaker_acc_std": round(float(np.std(snip_accs)), 4),
+               "speaker_eval_n": spk_s.num_eval,
+               "speaker_classes": spk_s.num_classes,
                "speaker_utt_acc": round(utt.accuracy, 4),
                "speaker_utt_eval_n": utt.num_eval,
                "phone_acc": round(ph.accuracy, 4),

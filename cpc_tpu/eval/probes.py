@@ -104,7 +104,7 @@ def run_speaker_probe(
     model: CPCModel, params, dataset: ProbeDataset, *,
     feature: str = "c", max_snippets: int = 512, eval_frac: float = 0.25,
     steps: int = 300, seed: int = 0, normalize: bool = True,
-    pool: str = "snippet",
+    pool: str = "snippet", split: str = "snippet",
 ) -> LinearProbeResult:
     """Mean-pooled features -> speaker id (BASELINE.json:11).
 
@@ -112,7 +112,31 @@ def run_speaker_probe(
     feature; pool='utterance' averages all of a source file's snippet
     features first — the longer horizon raises the information ceiling when
     speaker identity lives in temporal statistics (the dynamics corpus),
-    at the cost of fewer eval items."""
+    at the cost of fewer eval items.
+
+    split='snippet' (default) permutes snippets into train/eval, so
+    snippets of the SAME source file land on both sides — the probe can
+    then exploit per-utterance signatures (recording identity) instead of
+    speaker identity. split='file' holds out whole files: eval snippets
+    come from utterances the probe never saw, the honest speaker-ID
+    protocol (and the only sound one on the dynamics corpus, where every
+    utterance has its own f0). pool='utterance' is file-disjoint by
+    construction."""
+    pooled, y, files = extract_speaker_features(
+        model, params, dataset, feature=feature, max_snippets=max_snippets,
+        normalize=normalize)
+    return probe_speaker_features(
+        pooled, y, files, dataset.num_speakers, eval_frac=eval_frac,
+        steps=steps, seed=seed, pool=pool, split=split, feature=feature)
+
+
+def extract_speaker_features(
+    model: CPCModel, params, dataset: ProbeDataset, *,
+    feature: str = "c", max_snippets: int = 512, normalize: bool = True,
+):
+    """One forward sweep -> (pooled (N, d), labels (N,), source files (N,)).
+    Extraction dominates probe cost; callers probing several splits/seeds
+    (benchmarks/probe_study.py) extract once and reuse."""
     n = min(len(dataset), max_snippets)
     snippets, labels = [], []
     for i in range(n):
@@ -121,22 +145,42 @@ def run_speaker_probe(
         labels.append(spk)
     feats = _extract(model, params, np.stack(snippets), feature,
                      normalize=normalize)
-    pooled = feats.mean(axis=1)  # (N, d)
-    y = np.asarray(labels)
+    files = [dataset.locate(i)[0] for i in range(n)]
+    return feats.mean(axis=1), np.asarray(labels), files
+
+
+def probe_speaker_features(
+    pooled: np.ndarray, y: np.ndarray, files, num_classes: int, *,
+    eval_frac: float = 0.25, steps: int = 300, seed: int = 0,
+    pool: str = "snippet", split: str = "snippet", feature: str = "c",
+) -> LinearProbeResult:
+    """Linear speaker probe on pre-extracted pooled features (see
+    run_speaker_probe for the pool/split semantics)."""
+    n = len(pooled)
     if pool == "utterance":
         groups: dict = {}
         for i in range(n):
-            groups.setdefault(dataset.locate(i)[0], []).append(i)
+            groups.setdefault(files[i], []).append(i)
         idx_groups = list(groups.values())
         pooled = np.stack([pooled[ix].mean(axis=0) for ix in idx_groups])
         y = np.asarray([y[ix[0]] for ix in idx_groups])
+        tr, ev = _split(len(pooled), eval_frac, seed)
     elif pool != "snippet":
         raise ValueError(f"pool must be 'snippet'|'utterance', got {pool!r}")
-    tr, ev = _split(len(pooled), eval_frac, seed)
+    elif split == "file":
+        uniq = sorted(set(files))
+        tr_f, ev_f = _split(len(uniq), eval_frac, seed)
+        ev_files = {uniq[j] for j in ev_f}
+        idx = np.arange(n)
+        ev = idx[[f in ev_files for f in files]]
+        tr = idx[[f not in ev_files for f in files]]
+    elif split == "snippet":
+        tr, ev = _split(len(pooled), eval_frac, seed)
+    else:
+        raise ValueError(f"split must be 'snippet'|'file', got {split!r}")
     acc = _train_linear(pooled[tr], y[tr], pooled[ev], y[ev],
-                        dataset.num_speakers, steps=steps, seed=seed)
-    return LinearProbeResult(acc, dataset.num_speakers, len(tr), len(ev),
-                             feature)
+                        num_classes, steps=steps, seed=seed)
+    return LinearProbeResult(acc, num_classes, len(tr), len(ev), feature)
 
 
 def run_phone_probe(

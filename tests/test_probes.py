@@ -55,6 +55,31 @@ def test_speaker_probe_utterance_pooling(setup):
                           pool="file")
 
 
+def test_speaker_probe_file_disjoint_split(setup):
+    """split='file' must put every snippet of a file on one side only."""
+    from cpc_tpu.eval import probes as probes_mod
+    model, params, ds = setup
+    seen = {}
+    orig = probes_mod._train_linear
+
+    def spy(ftr, ytr, fev, yev, n_classes, **kw):
+        seen["n_tr"], seen["n_ev"] = len(ftr), len(fev)
+        return orig(ftr, ytr, fev, yev, n_classes, **kw)
+
+    probes_mod._train_linear = spy
+    try:
+        res = run_speaker_probe(model, params, ds, max_snippets=72,
+                                steps=50, split="file")
+    finally:
+        probes_mod._train_linear = orig
+    # 12 files x 6 snippets: eval = 25% of FILES = 3 files = 18 snippets
+    assert seen["n_ev"] == 18 and seen["n_tr"] == 54
+    assert res.num_eval == 18
+    with pytest.raises(ValueError, match="split"):
+        run_speaker_probe(model, params, ds, max_snippets=20, steps=10,
+                          split="utterance")
+
+
 def test_phone_probe_beats_chance(setup):
     # With an untrained model, per-frame spectral identity lives in z
     # (c is a context summary of the past): probe z.

@@ -117,16 +117,25 @@ def main() -> None:
         pooled, ylab, files = extract_speaker_features(
             model, tr.params, probe_ds, max_snippets=len(probe_ds),
             normalize=cfg.data.normalize)
+        # c[:, -1] holds evidence integrated over the whole snippet (the
+        # speaker posterior a recurrent gar accumulates); mean pooling
+        # dilutes it with uninformed early frames
+        last, _, _ = extract_speaker_features(
+            model, tr.params, probe_ds, max_snippets=len(probe_ds),
+            normalize=cfg.data.normalize, time_pool="last")
         n_spk = probe_ds.num_speakers
         # HEADLINE: file-disjoint split — eval snippets come from utterances
         # the probe never saw. The snippet-level split leaks per-utterance
         # signatures (each file draws its own f0), so it overstates
         # speaker-ID; reported alongside for comparison.
-        file_accs, snip_accs = [], []
+        file_accs, last_accs, snip_accs = [], [], []
         for ps in range(args.probe_seeds):
             spk_f = probe_speaker_features(pooled, ylab, files, n_spk,
                                            steps=400, seed=ps, split="file")
             file_accs.append(spk_f.accuracy)
+            last_accs.append(probe_speaker_features(
+                last, ylab, files, n_spk, steps=400, seed=ps,
+                split="file").accuracy)
             spk_s = probe_speaker_features(pooled[:800], ylab[:800],
                                            files[:800], n_spk,
                                            steps=400, seed=ps)
@@ -141,6 +150,8 @@ def main() -> None:
         row = {"step": ms,
                "speaker_file_acc": round(float(np.mean(file_accs)), 4),
                "speaker_file_acc_std": round(float(np.std(file_accs)), 4),
+               "speaker_file_last_acc": round(float(np.mean(last_accs)), 4),
+               "speaker_file_last_acc_std": round(float(np.std(last_accs)), 4),
                "speaker_file_eval_n": spk_f.num_eval,
                "speaker_acc": round(float(np.mean(snip_accs)), 4),
                "speaker_acc_std": round(float(np.std(snip_accs)), 4),

@@ -133,10 +133,16 @@ def run_speaker_probe(
 def extract_speaker_features(
     model: CPCModel, params, dataset: ProbeDataset, *,
     feature: str = "c", max_snippets: int = 512, normalize: bool = True,
+    time_pool: str = "mean",
 ):
     """One forward sweep -> (pooled (N, d), labels (N,), source files (N,)).
     Extraction dominates probe cost; callers probing several splits/seeds
-    (benchmarks/probe_study.py) extract once and reuse."""
+    (benchmarks/probe_study.py) extract once and reuse.
+
+    time_pool='mean' averages the trajectory; 'last' takes the final frame —
+    for a recurrent gar, c[:, -1] is where evidence integrated over the
+    whole snippet lives (e.g. a speaker posterior accumulated across phone
+    transitions), which mean pooling dilutes with uninformed early frames."""
     n = min(len(dataset), max_snippets)
     snippets, labels = [], []
     for i in range(n):
@@ -146,7 +152,13 @@ def extract_speaker_features(
     feats = _extract(model, params, np.stack(snippets), feature,
                      normalize=normalize)
     files = [dataset.locate(i)[0] for i in range(n)]
-    return feats.mean(axis=1), np.asarray(labels), files
+    if time_pool == "mean":
+        pooled = feats.mean(axis=1)
+    elif time_pool == "last":
+        pooled = feats[:, -1]
+    else:
+        raise ValueError(f"time_pool must be 'mean'|'last', got {time_pool!r}")
+    return pooled, np.asarray(labels), files
 
 
 def probe_speaker_features(

@@ -197,9 +197,9 @@ const int kSampleRates[16] = {0, 88200, 176400, 192000, 8000, 16000, 22050,
 
 extern "C" {
 
-int flac_decode_file(const char* path, int32_t** out_samples,
-                     int64_t* out_frames, int32_t* out_channels,
-                     int32_t* out_rate, int32_t* out_bps) {
+static int decode_file_impl(const char* path, int32_t** out_samples,
+                            int64_t* out_frames, int32_t* out_channels,
+                            int32_t* out_rate, int32_t* out_bps) {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
   fseek(f, 0, SEEK_END);
@@ -242,7 +242,15 @@ int flac_decode_file(const char* path, int32_t** out_samples,
   if (!have_info || channels < 1 || channels > 8) return -6;
 
   std::vector<int32_t> pcm;
-  if (total) pcm.reserve((size_t)total * channels);
+  // reserve is only a hint: a corrupt STREAMINFO can claim up to 2^36
+  // samples, and an unchecked reserve would throw bad_alloc. FLAC frames
+  // cannot expand much beyond ~4 bytes/sample, so cap the hint by the
+  // compressed size; growth past it is a plain amortized push_back.
+  if (total) {
+    size_t hint = (size_t)total * (size_t)channels;
+    size_t cap = buf.size() * 2 + 65536;
+    pcm.reserve(hint < cap ? hint : cap);
+  }
   std::vector<std::vector<int64_t>> ch(channels);
 
   while (br.byte < br.size) {
@@ -332,6 +340,19 @@ int flac_decode_file(const char* path, int32_t** out_samples,
   *out_rate = rate;
   *out_bps = bps;
   return 0;
+}
+
+int flac_decode_file(const char* path, int32_t** out_samples,
+                     int64_t* out_frames, int32_t* out_channels,
+                     int32_t* out_rate, int32_t* out_bps) {
+  // No C++ exception may escape the C ABI: a bad_alloc from a corrupt
+  // header aborts the whole process otherwise (fuzz-found).
+  try {
+    return decode_file_impl(path, out_samples, out_frames, out_channels,
+                            out_rate, out_bps);
+  } catch (...) {
+    return -16;
+  }
 }
 
 void flac_free(int32_t* p) { free(p); }

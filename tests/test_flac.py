@@ -174,3 +174,50 @@ def test_so_path_read_only_package_dir(monkeypatch, tmp_path):
     so = flacmod._so_path()
     assert so.startswith(str(tmp_path))
     assert so.endswith(".so") and "cpc_tpu" in so
+
+
+def test_corrupt_input_never_crashes(tmp_path):
+    """Corrupt FLAC must raise (or decode garbage) — never abort the
+    process. Fuzz-found: a corrupt STREAMINFO total_samples (36-bit, up to
+    64G frames) made the unchecked pcm.reserve throw std::bad_alloc through
+    the C ABI, terminating the interpreter."""
+    import numpy as np
+    from cpc_tpu.data.flac import read_flac
+    from cpc_tpu.data.flac_encoder import write_flac
+
+    rng = np.random.default_rng(7)
+    x = (rng.standard_normal(4000) * 8000).astype(np.int16)
+    good = tmp_path / "good.flac"
+    write_flac(str(good), x[:, None], 16000)
+    data = bytearray(good.read_bytes())
+
+    # the deterministic bad_alloc reproducer: max out STREAMINFO total
+    huge = bytearray(data)
+    huge[21] |= 0x0F
+    huge[22:26] = b"\xff\xff\xff\xff"
+    p = tmp_path / "bad.flac"
+    p.write_bytes(bytes(huge))
+    try:
+        read_flac(str(p))  # decoding to EOF is fine; aborting is the bug
+    except Exception:
+        pass
+
+    for trial in range(200):
+        buf = bytearray(data)
+        mode = trial % 4
+        if mode == 0:
+            buf = buf[:rng.integers(4, len(buf))]
+        elif mode == 1:
+            for _ in range(rng.integers(1, 16)):
+                buf[rng.integers(0, len(buf))] = rng.integers(0, 256)
+        elif mode == 2:
+            for _ in range(rng.integers(1, 6)):
+                buf[rng.integers(0, min(64, len(buf)))] = rng.integers(0, 256)
+        else:
+            buf = bytearray(b"fLaC") + bytes(
+                rng.integers(0, 256, rng.integers(10, 2000), dtype=np.uint8))
+        p.write_bytes(bytes(buf))
+        try:
+            read_flac(str(p))
+        except Exception:
+            pass  # clean Python error is the contract

@@ -9,6 +9,8 @@ previous step runs.
 
 from __future__ import annotations
 
+import signal
+import threading
 import time
 from typing import Dict, Optional
 
@@ -62,6 +64,7 @@ class Trainer:
                                        cfg.train.keep_checkpoints)
                      if workdir else None)
         self.step = 0
+        self.preempted = False
         self._sharding = (batch_sharding(self.mesh)
                           if self.mesh.size > 1 else None)
 
@@ -81,9 +84,29 @@ class Trainer:
         self.batcher.restore(batcher_state)
         return True
 
+    def _install_sigterm_handler(self):
+        """Preemption notice (TPU pools send SIGTERM before reclaim): flag
+        the loop so it checkpoints and returns cleanly instead of dying
+        with progress since the last periodic save. Signal handlers only
+        exist in the main thread; elsewhere this is a no-op (the SIGKILL
+        resume path still covers hard kills)."""
+        if threading.current_thread() is not threading.main_thread():
+            return None
+        def handler(signum, frame):
+            self.preempted = True
+        return signal.signal(signal.SIGTERM, handler)
+
     def train(self, num_steps: Optional[int] = None) -> Dict:
         cfg = self.cfg.train
         total = num_steps if num_steps is not None else cfg.num_steps
+        prev_handler = self._install_sigterm_handler()
+        try:
+            return self._train_loop(cfg, total)
+        finally:
+            if prev_handler is not None:
+                signal.signal(signal.SIGTERM, prev_handler)
+
+    def _train_loop(self, cfg, total) -> Dict:
         it = iter(self.batcher)
         last_metrics: Dict = {}
         t_log = time.time()
@@ -125,6 +148,15 @@ class Trainer:
                     self.step % cfg.checkpoint_every == 0 or self.step == total):
                 self.ckpt.save(self.step, self.params, self.opt_state,
                                self.batcher.state())
+            if self.preempted:
+                if self.ckpt is not None and not (
+                        self.step % cfg.checkpoint_every == 0
+                        or self.step == total):  # not already saved above
+                    self.ckpt.save(self.step, self.params, self.opt_state,
+                                   self.batcher.state())
+                self.writer.write(self.step,
+                                  {"preempted": 1.0, **last_metrics}, "train")
+                break
         if self.ckpt is not None:
             self.ckpt.wait()
         return last_metrics

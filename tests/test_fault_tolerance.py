@@ -115,3 +115,45 @@ def test_kill_and_resume_exact(corpus, tmp_path):
     assert res[-1]["final_step"] == 20
     np.testing.assert_allclose(res[-1]["param_sum"], ref[-1]["param_sum"],
                                rtol=1e-6)
+
+
+def test_sigterm_graceful_preemption(corpus, tmp_path):
+    """SIGTERM (the TPU-pool preemption notice) must checkpoint at the
+    CURRENT step — not the last periodic one — and exit cleanly; a resumed
+    run continues from that exact step."""
+    wd = str(tmp_path / "pre")
+    # checkpoint_every=5 but we interrupt between periodic saves; use a
+    # long run so the signal lands mid-training
+    script = _SCRIPT.format(repo=REPO, corpus=corpus, workdir=wd, steps=5000)
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.Popen([sys.executable, "-c", script],
+                            stdout=subprocess.PIPE,
+                            stderr=subprocess.DEVNULL, env=env, text=True)
+    ckpt_dir = os.path.join(wd, "checkpoints")
+    deadline = time.time() + 300
+    while time.time() < deadline and proc.poll() is None:
+        done = [d for d in (os.listdir(ckpt_dir)
+                            if os.path.isdir(ckpt_dir) else [])
+                if d.isdigit()]
+        if done:
+            break
+        time.sleep(0.5)
+    proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=600)
+    assert proc.returncode == 0, out  # clean exit, not a crash
+    lines = [json.loads(l) for l in out.strip().splitlines()
+             if l.startswith("{")]
+    stopped_at = lines[-1]["final_step"]
+    assert 0 < stopped_at < 5000
+
+    # the preemption checkpoint is at the stop step itself
+    saved = sorted(int(d) for d in os.listdir(ckpt_dir) if d.isdigit())
+    assert stopped_at in saved, (stopped_at, saved)
+
+    # resume picks up exactly there
+    res = _run(corpus, wd, steps=stopped_at + 3)
+    assert res[0]["resumed"] is True
+    assert res[0]["start_step"] == stopped_at
+    assert res[-1]["final_step"] == stopped_at + 3

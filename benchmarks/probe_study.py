@@ -53,6 +53,11 @@ def main() -> None:
                         "by matching per-utterance signatures (f0) — the "
                         "classic CPC shortcut. all_steps adds same-utterance "
                         "candidates, forcing temporal content")
+    p.add_argument("--snippet-samples", type=int, default=None,
+                   help="override cfg.data.snippet_samples (e.g. 40960 = "
+                        "2.56 s: ~18 phone transitions per snippet instead "
+                        "of ~9, doubling the evidence available to the "
+                        "context representation)")
     p.add_argument("--probe-seeds", type=int, default=3,
                    help="probe train/eval-split seeds per milestone; "
                         "speaker_acc is reported mean +/- std across them")
@@ -71,7 +76,10 @@ def main() -> None:
     cfg = presets.tpu_fast()
     cfg = dataclasses.replace(
         cfg,
-        data=dataclasses.replace(cfg.data, augment=args.augment),
+        data=dataclasses.replace(
+            cfg.data, augment=args.augment,
+            snippet_samples=(args.snippet_samples
+                             or cfg.data.snippet_samples)),
         train=dataclasses.replace(cfg.train, num_steps=milestones[-1],
                                   log_every=200, eval_every=10**9,
                                   checkpoint_every=10**9),

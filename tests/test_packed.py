@@ -106,3 +106,38 @@ def test_partial_phone_labels_excluded(tmp_path):
     x1, _, p1 = mm.item_with_labels(1)  # overlaps the unlabeled tail
     assert p0 is not None and p0.max() < 255
     assert p1 is None
+
+
+def test_trainer_over_packed_end_to_end(corpora, tmp_path):
+    """The production ingest path: Trainer fed by PackedSnippetDataset
+    trains, checkpoints, and resumes exactly like the live-decode path."""
+    from cpc_tpu.config import (ArConfig, CPCConfig, DataConfig,
+                                EncoderConfig, LossConfig, ModelConfig,
+                                TrainConfig)
+    from cpc_tpu.train.trainer import Trainer
+
+    _, packed, _ = corpora
+    cfg = CPCConfig(
+        model=ModelConfig(
+            encoder=EncoderConfig(channels=(16, 16), kernels=(10, 8),
+                                  strides=(5, 4), d_enc=16),
+            ar=ArConfig(d_ar=8),
+            loss=LossConfig(prediction_steps=2),
+        ),
+        data=DataConfig(batch_size=8, snippet_samples=2000, prefetch=1),
+        train=TrainConfig(num_steps=12, log_every=6, eval_every=10**9,
+                          checkpoint_every=6),
+    )
+    ds = PackedSnippetDataset(packed, 2000)
+    wd = str(tmp_path / "run")
+    tr = Trainer(cfg, ds, workdir=wd)
+    m = tr.train()
+    tr.close()
+    assert np.isfinite(float(m["loss"]))
+    assert tr.step == 12
+
+    # resume from the packed-corpus checkpoint continues exactly
+    tr2 = Trainer(cfg, PackedSnippetDataset(packed, 2000), workdir=wd)
+    assert tr2.maybe_resume()
+    assert tr2.step == 12
+    tr2.close()

@@ -68,8 +68,9 @@ def main() -> None:
     from cpc_tpu.config import presets
     from cpc_tpu.data.dataset import ProbeDataset, SnippetDataset
     from cpc_tpu.data.synthetic import generate_synthetic_corpus
-    from cpc_tpu.eval.probes import (extract_speaker_features,
-                                     probe_speaker_features, run_phone_probe)
+    from cpc_tpu.eval.probes import (extract_speaker_frame_features,
+                                     pool_time, probe_speaker_features,
+                                     run_phone_probe)
     from cpc_tpu.models.cpc import CPCModel
     from cpc_tpu.train.trainer import Trainer
 
@@ -93,10 +94,14 @@ def main() -> None:
 
     corpus = args.corpus
     if corpus is None:
-        # style-keyed dir: a cached corpus of another style must never be
-        # silently reused (it would reintroduce the spectral-identity
-        # confound the dynamics style exists to remove)
-        corpus = os.path.join(args.workdir, f"corpus_{args.style}")
+        # dir keyed by EVERY generation parameter: a cached corpus built
+        # with different flags must never be silently reused (the silent-
+        # reuse bug class that once served the easy corpus to a dynamics
+        # study)
+        corpus = os.path.join(
+            args.workdir,
+            f"corpus_{args.style}_{args.speakers}x{args.files_per_speaker}"
+            f"x{args.seconds_per_file:g}s")
         if not os.path.isdir(corpus):
             generate_synthetic_corpus(
                 corpus, style=args.style, num_speakers=args.speakers,
@@ -122,25 +127,27 @@ def main() -> None:
         import numpy as np
         # ONE feature sweep per milestone (extraction dominates probe cost),
         # then every split/seed probes the cached features.
-        pooled, ylab, files = extract_speaker_features(
+        frames, ylab, files = extract_speaker_frame_features(
             model, tr.params, probe_ds, max_snippets=len(probe_ds),
             normalize=cfg.data.normalize)
+        pooled = pool_time(frames, "mean")
         # c[:, -1] holds evidence integrated over the whole snippet (the
         # speaker posterior a recurrent gar accumulates); mean pooling
         # dilutes it with uninformed early frames
-        last, _, _ = extract_speaker_features(
-            model, tr.params, probe_ds, max_snippets=len(probe_ds),
-            normalize=cfg.data.normalize, time_pool="last")
+        last = pool_time(frames, "last")
+        del frames
         n_spk = probe_ds.num_speakers
         # HEADLINE: file-disjoint split — eval snippets come from utterances
         # the probe never saw. The snippet-level split leaks per-utterance
         # signatures (each file draws its own f0), so it overstates
         # speaker-ID; reported alongside for comparison.
         file_accs, last_accs, snip_accs = [], [], []
+        file_eval_ns, snip_eval_ns = [], []
         for ps in range(args.probe_seeds):
             spk_f = probe_speaker_features(pooled, ylab, files, n_spk,
                                            steps=400, seed=ps, split="file")
             file_accs.append(spk_f.accuracy)
+            file_eval_ns.append(spk_f.num_eval)
             last_accs.append(probe_speaker_features(
                 last, ylab, files, n_spk, steps=400, seed=ps,
                 split="file").accuracy)
@@ -148,6 +155,7 @@ def main() -> None:
                                            files[:800], n_spk,
                                            steps=400, seed=ps)
             snip_accs.append(spk_s.accuracy)
+            snip_eval_ns.append(spk_s.num_eval)
         # utterance pooling collapses ~9 snippets into one item, so it uses
         # the WHOLE corpus to keep enough items per class
         utt = probe_speaker_features(pooled, ylab, files, n_spk, steps=400,
@@ -160,10 +168,10 @@ def main() -> None:
                "speaker_file_acc_std": round(float(np.std(file_accs)), 4),
                "speaker_file_last_acc": round(float(np.mean(last_accs)), 4),
                "speaker_file_last_acc_std": round(float(np.std(last_accs)), 4),
-               "speaker_file_eval_n": spk_f.num_eval,
+               "speaker_file_eval_n": int(np.mean(file_eval_ns)),
                "speaker_acc": round(float(np.mean(snip_accs)), 4),
                "speaker_acc_std": round(float(np.std(snip_accs)), 4),
-               "speaker_eval_n": spk_s.num_eval,
+               "speaker_eval_n": int(np.mean(snip_eval_ns)),
                "speaker_classes": spk_s.num_classes,
                "speaker_utt_acc": round(utt.accuracy, 4),
                "speaker_utt_eval_n": utt.num_eval,

@@ -39,8 +39,13 @@ def _so_path() -> str:
 
 
 def _build(so: str) -> None:
-    cmd = ["g++", "-O2", "-fPIC", "-shared", "-std=c++17", "-o", so, _SRC]
+    # compile to a private temp name and rename atomically: a concurrent
+    # process must never CDLL a half-written library (the threading lock
+    # only covers this process)
+    tmp = f"{so}.tmp{os.getpid()}"
+    cmd = ["g++", "-O2", "-fPIC", "-shared", "-std=c++17", "-o", tmp, _SRC]
     subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp, so)
 
 
 def _load():

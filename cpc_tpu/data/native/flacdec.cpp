@@ -204,8 +204,15 @@ static int decode_file_impl(const char* path, int32_t** out_samples,
   if (!f) return -1;
   fseek(f, 0, SEEK_END);
   long fsize = ftell(f);
+  if (fsize < 0) { fclose(f); return -2; }
   fseek(f, 0, SEEK_SET);
-  std::vector<uint8_t> buf((size_t)fsize);
+  std::vector<uint8_t> buf;
+  try {
+    buf.resize((size_t)fsize);
+  } catch (...) {
+    fclose(f);  // don't leak the fd through the catch(...) -16 path
+    return -2;
+  }
   if (fread(buf.data(), 1, (size_t)fsize, f) != (size_t)fsize) {
     fclose(f);
     return -2;

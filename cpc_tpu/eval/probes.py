@@ -130,6 +130,33 @@ def run_speaker_probe(
         steps=steps, seed=seed, pool=pool, split=split, feature=feature)
 
 
+def extract_speaker_frame_features(
+    model: CPCModel, params, dataset: ProbeDataset, *,
+    feature: str = "c", max_snippets: int = 512, normalize: bool = True,
+):
+    """One forward sweep -> per-frame (feats (N, T, d), labels (N,),
+    source files (N,)). Callers wanting several time poolings (mean AND
+    last) pool this once-extracted array instead of sweeping twice."""
+    n = min(len(dataset), max_snippets)
+    snippets, labels = [], []
+    for i in range(n):
+        x, spk, _ = dataset.item_with_labels(i)
+        snippets.append(x)
+        labels.append(spk)
+    feats = _extract(model, params, np.stack(snippets), feature,
+                     normalize=normalize)
+    files = [dataset.locate(i)[0] for i in range(n)]
+    return feats, np.asarray(labels), files
+
+
+def pool_time(feats: np.ndarray, time_pool: str) -> np.ndarray:
+    if time_pool == "mean":
+        return feats.mean(axis=1)
+    if time_pool == "last":
+        return feats[:, -1]
+    raise ValueError(f"time_pool must be 'mean'|'last', got {time_pool!r}")
+
+
 def extract_speaker_features(
     model: CPCModel, params, dataset: ProbeDataset, *,
     feature: str = "c", max_snippets: int = 512, normalize: bool = True,
@@ -143,22 +170,10 @@ def extract_speaker_features(
     for a recurrent gar, c[:, -1] is where evidence integrated over the
     whole snippet lives (e.g. a speaker posterior accumulated across phone
     transitions), which mean pooling dilutes with uninformed early frames."""
-    n = min(len(dataset), max_snippets)
-    snippets, labels = [], []
-    for i in range(n):
-        x, spk, _ = dataset.item_with_labels(i)
-        snippets.append(x)
-        labels.append(spk)
-    feats = _extract(model, params, np.stack(snippets), feature,
-                     normalize=normalize)
-    files = [dataset.locate(i)[0] for i in range(n)]
-    if time_pool == "mean":
-        pooled = feats.mean(axis=1)
-    elif time_pool == "last":
-        pooled = feats[:, -1]
-    else:
-        raise ValueError(f"time_pool must be 'mean'|'last', got {time_pool!r}")
-    return pooled, np.asarray(labels), files
+    feats, labels, files = extract_speaker_frame_features(
+        model, params, dataset, feature=feature, max_snippets=max_snippets,
+        normalize=normalize)
+    return pool_time(feats, time_pool), labels, files
 
 
 def probe_speaker_features(
@@ -190,6 +205,10 @@ def probe_speaker_features(
         tr, ev = _split(len(pooled), eval_frac, seed)
     else:
         raise ValueError(f"split must be 'snippet'|'file', got {split!r}")
+    if len(tr) == 0 or len(ev) == 0:
+        raise ValueError(
+            f"probe split produced {len(tr)} train / {len(ev)} eval items "
+            "(too few files/snippets for the requested split)")
     acc = _train_linear(pooled[tr], y[tr], pooled[ev], y[ev],
                         num_classes, steps=steps, seed=seed)
     return LinearProbeResult(acc, num_classes, len(tr), len(ev), feature)

@@ -99,6 +99,9 @@ class Trainer:
     def train(self, num_steps: Optional[int] = None) -> Dict:
         cfg = self.cfg.train
         total = num_steps if num_steps is not None else cfg.num_steps
+        # a fresh train() call starts un-preempted: a SIGTERM during an
+        # earlier call must not make every later call stop after one step
+        self.preempted = False
         prev_handler = self._install_sigterm_handler()
         try:
             return self._train_loop(cfg, total)

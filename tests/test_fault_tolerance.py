@@ -157,3 +157,30 @@ def test_sigterm_graceful_preemption(corpus, tmp_path):
     assert res[0]["resumed"] is True
     assert res[0]["start_step"] == stopped_at
     assert res[-1]["final_step"] == stopped_at + 3
+
+
+def test_preempted_flag_resets_between_train_calls(corpus, tmp_path):
+    """A SIGTERM during one train() call must not poison later calls on the
+    same Trainer (the probe study trains milestone-by-milestone)."""
+    from cpc_tpu.config import (ArConfig, CPCConfig, DataConfig,
+                                EncoderConfig, LossConfig, ModelConfig,
+                                TrainConfig)
+    from cpc_tpu.data.dataset import SnippetDataset
+    from cpc_tpu.train.trainer import Trainer
+
+    cfg = CPCConfig(
+        model=ModelConfig(
+            encoder=EncoderConfig(channels=(16, 16), kernels=(10, 8),
+                                  strides=(5, 4), d_enc=16),
+            ar=ArConfig(d_ar=8),
+            loss=LossConfig(prediction_steps=2),
+        ),
+        data=DataConfig(batch_size=8, snippet_samples=2000, prefetch=1),
+        train=TrainConfig(num_steps=100, log_every=1000, eval_every=10**9,
+                          checkpoint_every=10**9),
+    )
+    tr = Trainer(cfg, SnippetDataset(corpus, 2000), workdir=None)
+    tr.preempted = True  # as if a SIGTERM landed before/during a prior call
+    tr.train(3)
+    assert tr.step == 3 and tr.preempted is False
+    tr.close()

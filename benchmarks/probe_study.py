@@ -68,9 +68,10 @@ def main() -> None:
     from cpc_tpu.config import presets
     from cpc_tpu.data.dataset import ProbeDataset, SnippetDataset
     from cpc_tpu.data.synthetic import generate_synthetic_corpus
-    from cpc_tpu.eval.probes import (extract_speaker_frame_features,
-                                     pool_time, probe_speaker_features,
-                                     run_phone_probe)
+    from cpc_tpu.eval.probes import (extract_phone_frame_features,
+                                     extract_speaker_frame_features,
+                                     pool_time, probe_phone_features,
+                                     probe_speaker_features)
     from cpc_tpu.models.cpc import CPCModel
     from cpc_tpu.train.trainer import Trainer
 
@@ -160,9 +161,17 @@ def main() -> None:
         # the WHOLE corpus to keep enough items per class
         utt = probe_speaker_features(pooled, ylab, files, n_spk, steps=400,
                                      pool="utterance")
-        ph = run_phone_probe(model, tr.params, probe_ds, feature="z",
-                             max_snippets=200, steps=400,
-                             normalize=cfg.data.normalize)
+        # Phone probe under BOTH splits (extraction cached across seeds).
+        # file split = honest protocol (eval frames from held-out
+        # utterances); snippet split kept for the leak-size comparison.
+        ph_feats, ph_lab, ph_files = extract_phone_frame_features(
+            model, tr.params, probe_ds, feature="z", max_snippets=200,
+            normalize=cfg.data.normalize)
+        ph_file_accs = [probe_phone_features(
+            ph_feats, ph_lab, ph_files, steps=400, seed=ps,
+            split="file").accuracy for ps in range(args.probe_seeds)]
+        ph = probe_phone_features(ph_feats, ph_lab, ph_files, steps=400,
+                                  split="snippet")
         row = {"step": ms,
                "speaker_file_acc": round(float(np.mean(file_accs)), 4),
                "speaker_file_acc_std": round(float(np.std(file_accs)), 4),
@@ -175,7 +184,9 @@ def main() -> None:
                "speaker_classes": spk_s.num_classes,
                "speaker_utt_acc": round(utt.accuracy, 4),
                "speaker_utt_eval_n": utt.num_eval,
-               "phone_acc": round(ph.accuracy, 4),
+               "phone_file_acc": round(float(np.mean(ph_file_accs)), 4),
+               "phone_file_acc_std": round(float(np.std(ph_file_accs)), 4),
+               "phone_snip_acc": round(ph.accuracy, 4),
                "phone_eval_n": ph.num_eval,
                "phone_classes": ph.num_classes}
         results.append(row)

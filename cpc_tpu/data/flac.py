@@ -38,6 +38,18 @@ def _so_path() -> str:
         cache, f"_flacdec-{int(os.path.getmtime(_SRC))}.so")
 
 
+def _prune_stale_cache(so: str) -> None:
+    """Drop cached builds keyed to other source mtimes, so package upgrades
+    don't accumulate orphaned .so files in the user cache."""
+    import glob
+    for old in glob.glob(os.path.join(os.path.dirname(so), "_flacdec-*.so")):
+        if old != so:
+            try:
+                os.unlink(old)
+            except OSError:
+                pass  # another process may race the same cleanup
+
+
 def _build(so: str) -> None:
     # compile to a private temp name and rename atomically: a concurrent
     # process must never CDLL a half-written library (the threading lock
@@ -57,6 +69,8 @@ def _load():
         if (not os.path.exists(so)
                 or os.path.getmtime(so) < os.path.getmtime(_SRC)):
             _build(so)
+            if os.path.dirname(so) != _NATIVE_DIR:
+                _prune_stale_cache(so)
         lib = ctypes.CDLL(so)
         lib.flac_decode_file.restype = ctypes.c_int
         lib.flac_decode_file.argtypes = [

@@ -35,9 +35,9 @@ def main(argv=None) -> int:
                         "(python -m cpc_tpu.data.pack)")
     p.add_argument("--feature", default="c", choices=["c", "z"])
     p.add_argument("--split", default="snippet", choices=["snippet", "file"],
-                   help="speaker-probe train/eval split. 'file' holds out "
-                        "whole utterances — the honest protocol (the "
-                        "snippet split can score by per-recording "
+                   help="probe train/eval split (speaker AND phone). 'file' "
+                        "holds out whole utterances — the honest protocol "
+                        "(the snippet split can score by per-recording "
                         "signatures; see RESULTS.md probe study)")
     p.add_argument("--steps", type=int, default=300)
     p.add_argument("--max-snippets", type=int, default=512)
@@ -119,7 +119,8 @@ def main(argv=None) -> int:
         r = run_phone_probe(model, params, ds, feature=args.feature,
                             steps=args.steps,
                             max_snippets=args.max_snippets,
-                            normalize=cfg.data.normalize)
+                            normalize=cfg.data.normalize,
+                            split=args.split)
         results["phone_probe"] = dataclasses.asdict(r)
     print(json.dumps(results))
     return 0

@@ -100,6 +100,24 @@ def _split(n: int, eval_frac: float, seed: int):
     return order[n_eval:], order[:n_eval]
 
 
+def _split_items(n: int, files, split: str, eval_frac: float, seed: int):
+    """Train/eval index split over n snippets.
+
+    split='snippet' permutes snippets (snippets of the same source file land
+    on BOTH sides — leaks per-recording signatures; see RESULTS.md).
+    split='file' holds out whole source files, the honest protocol."""
+    if split == "file":
+        uniq = sorted(set(files))
+        _, ev_f = _split(len(uniq), eval_frac, seed)
+        ev_files = {uniq[j] for j in ev_f}
+        idx = np.arange(n)
+        in_eval = np.asarray([f in ev_files for f in files], bool)
+        return idx[~in_eval], idx[in_eval]
+    if split == "snippet":
+        return _split(n, eval_frac, seed)
+    raise ValueError(f"split must be 'snippet'|'file', got {split!r}")
+
+
 def run_speaker_probe(
     model: CPCModel, params, dataset: ProbeDataset, *,
     feature: str = "c", max_snippets: int = 512, eval_frac: float = 0.25,
@@ -185,6 +203,11 @@ def probe_speaker_features(
     run_speaker_probe for the pool/split semantics)."""
     n = len(pooled)
     if pool == "utterance":
+        if split not in ("snippet", "file"):
+            # utterance pooling is file-disjoint by construction, so either
+            # split value is acceptable — but an invalid one must still raise
+            # (it raises on every other pool/split combination)
+            raise ValueError(f"split must be 'snippet'|'file', got {split!r}")
         groups: dict = {}
         for i in range(n):
             groups.setdefault(files[i], []).append(i)
@@ -194,17 +217,8 @@ def probe_speaker_features(
         tr, ev = _split(len(pooled), eval_frac, seed)
     elif pool != "snippet":
         raise ValueError(f"pool must be 'snippet'|'utterance', got {pool!r}")
-    elif split == "file":
-        uniq = sorted(set(files))
-        tr_f, ev_f = _split(len(uniq), eval_frac, seed)
-        ev_files = {uniq[j] for j in ev_f}
-        idx = np.arange(n)
-        ev = idx[[f in ev_files for f in files]]
-        tr = idx[[f not in ev_files for f in files]]
-    elif split == "snippet":
-        tr, ev = _split(len(pooled), eval_frac, seed)
     else:
-        raise ValueError(f"split must be 'snippet'|'file', got {split!r}")
+        tr, ev = _split_items(n, files, split, eval_frac, seed)
     if len(tr) == 0 or len(ev) == 0:
         raise ValueError(
             f"probe split produced {len(tr)} train / {len(ev)} eval items "
@@ -214,45 +228,76 @@ def probe_speaker_features(
     return LinearProbeResult(acc, num_classes, len(tr), len(ev), feature)
 
 
-def run_phone_probe(
+def extract_phone_frame_features(
     model: CPCModel, params, dataset: ProbeDataset, *,
-    feature: str = "c", max_snippets: int = 256, eval_frac: float = 0.25,
-    steps: int = 300, seed: int = 0, num_phones: Optional[int] = None,
-    normalize: bool = True,
-) -> LinearProbeResult:
-    """Per-frame features -> frame-level phone labels (BASELINE.json:11).
-
-    Phone labels are per-sample; each latent frame takes the majority label
-    of its 160-sample receptive stride."""
+    feature: str = "c", max_snippets: int = 256, normalize: bool = True,
+):
+    """One forward sweep over the phone-labeled snippets -> (feats (N, T, d),
+    frame labels (N, T), source files (N,)). Phone labels are per-sample;
+    each latent frame takes the majority label of its receptive stride.
+    Callers probing several splits/seeds extract once and reuse."""
     n = min(len(dataset), max_snippets)
-    snippets, frame_labels = [], []
+    snippets, frame_labels, files = [], [], []
     for i in range(n):
         x, _, phones = dataset.item_with_labels(i)
         if phones is None:
             continue  # unlabeled snippet (no/partial alignment): skip
         snippets.append(x)
         frame_labels.append(phones)
+        files.append(dataset.locate(i)[0])
     if not snippets:
         raise ValueError(
             "phone probe needs <utt>.phones.npy label files "
             "(the synthetic generator writes them; for real corpora dump "
             "forced alignments in the same format)")
-    n = len(snippets)
     feats = _extract(model, params, np.stack(snippets), feature,
                      normalize=normalize)  # (N, T, d)
-    N, T, d = feats.shape
+    N, T, _ = feats.shape
     ds = len(snippets[0]) // T
     # majority label per frame
     lab = np.stack(frame_labels)[:, :T * ds].reshape(N, T, ds)
     frame_lab = np.apply_along_axis(
         lambda a: np.bincount(a).argmax(), 2, lab)  # (N, T)
+    return feats, frame_lab, files
+
+
+def probe_phone_features(
+    feats: np.ndarray, frame_lab: np.ndarray, files, *,
+    num_phones: Optional[int] = None, eval_frac: float = 0.25,
+    steps: int = 300, seed: int = 0, split: str = "snippet",
+    feature: str = "c",
+) -> LinearProbeResult:
+    """Frame-level linear phone probe on pre-extracted features.
+
+    The split is at snippet granularity (never frame — frames of one
+    snippet always stay together); split='file' additionally holds out
+    whole source files, so eval frames come from utterances the probe
+    never saw. The snippet split leaks per-utterance signatures exactly as
+    it does for the speaker probe (RESULTS.md probe study)."""
+    N, T, d = feats.shape
     X = feats.reshape(N * T, d)
     y = frame_lab.reshape(N * T)
     n_classes = num_phones or int(y.max()) + 1
-    tr, ev = _split(N, eval_frac, seed)
+    tr, _ = _split_items(N, files, split, eval_frac, seed)
     tr_mask = np.zeros(N, bool); tr_mask[tr] = True
     tr_idx = np.repeat(tr_mask, T)
     acc = _train_linear(X[tr_idx], y[tr_idx], X[~tr_idx], y[~tr_idx],
                         n_classes, steps=steps, seed=seed)
     return LinearProbeResult(acc, n_classes, int(tr_idx.sum()),
                              int((~tr_idx).sum()), feature)
+
+
+def run_phone_probe(
+    model: CPCModel, params, dataset: ProbeDataset, *,
+    feature: str = "c", max_snippets: int = 256, eval_frac: float = 0.25,
+    steps: int = 300, seed: int = 0, num_phones: Optional[int] = None,
+    normalize: bool = True, split: str = "snippet",
+) -> LinearProbeResult:
+    """Per-frame features -> frame-level phone labels (BASELINE.json:11).
+    See probe_phone_features for the split semantics."""
+    feats, frame_lab, files = extract_phone_frame_features(
+        model, params, dataset, feature=feature, max_snippets=max_snippets,
+        normalize=normalize)
+    return probe_phone_features(
+        feats, frame_lab, files, num_phones=num_phones, eval_frac=eval_frac,
+        steps=steps, seed=seed, split=split, feature=feature)

@@ -84,6 +84,11 @@ class Trainer:
         self.batcher.restore(batcher_state)
         return True
 
+    # distinct from None: signal.signal() legitimately returns None when the
+    # previous handler was installed from C, and that case must still be
+    # restored (to SIG_DFL) or our closure pins this Trainer process-wide
+    _NOT_INSTALLED = object()
+
     def _install_sigterm_handler(self):
         """Preemption notice (TPU pools send SIGTERM before reclaim): flag
         the loop so it checkpoints and returns cleanly instead of dying
@@ -91,7 +96,7 @@ class Trainer:
         exist in the main thread; elsewhere this is a no-op (the SIGKILL
         resume path still covers hard kills)."""
         if threading.current_thread() is not threading.main_thread():
-            return None
+            return self._NOT_INSTALLED
         def handler(signum, frame):
             self.preempted = True
         return signal.signal(signal.SIGTERM, handler)
@@ -106,8 +111,10 @@ class Trainer:
         try:
             return self._train_loop(cfg, total)
         finally:
-            if prev_handler is not None:
-                signal.signal(signal.SIGTERM, prev_handler)
+            if prev_handler is not self._NOT_INSTALLED:
+                signal.signal(signal.SIGTERM,
+                              prev_handler if prev_handler is not None
+                              else signal.SIG_DFL)
 
     def _train_loop(self, cfg, total) -> Dict:
         it = iter(self.batcher)

@@ -90,6 +90,27 @@ def test_phone_probe_beats_chance(setup):
     assert res.accuracy > 2 * chance, f"phone acc {res.accuracy}"
 
 
+def test_phone_probe_file_disjoint_split(setup):
+    """split='file' holds out whole utterances for the PHONE probe too
+    (VERDICT r2 missing #3): every frame of a file lands on one side only,
+    and an invalid split raises."""
+    from cpc_tpu.eval.probes import (extract_phone_frame_features,
+                                     probe_phone_features)
+    model, params, ds = setup
+    feats, lab, files = extract_phone_frame_features(
+        model, params, ds, feature="z", max_snippets=72)
+    N, T, _ = feats.shape
+    res = probe_phone_features(feats, lab, files, steps=50, split="file")
+    # 12 files x 6 snippets: eval = 25% of FILES = 3 files = 18 snippets,
+    # each contributing T frames
+    assert res.num_eval == 18 * T and res.num_train == 54 * T
+    with pytest.raises(ValueError, match="split"):
+        probe_phone_features(feats, lab, files, steps=10, split="utterance")
+    with pytest.raises(ValueError, match="split"):
+        run_phone_probe(model, params, ds, max_snippets=20, steps=10,
+                        split="bogus")
+
+
 def test_feature_extraction_trajectories(setup):
     model, params, _ = setup
     wav = np.random.default_rng(0).standard_normal(25_000).astype(np.float32)

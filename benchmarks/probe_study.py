@@ -84,7 +84,7 @@ def main() -> None:
                              or cfg.data.snippet_samples)),
         train=dataclasses.replace(cfg.train, num_steps=milestones[-1],
                                   log_every=200, eval_every=10**9,
-                                  checkpoint_every=10**9),
+                                  checkpoint_every=2000),
     )
     if args.negatives:
         # fuse_heads is same_step-only; make_step_fns falls back to the
@@ -115,8 +115,14 @@ def main() -> None:
 
     model = CPCModel(cfg.model)
     tr = Trainer(cfg, train_ds, workdir=args.workdir)
+    # long studies (hours at 5.12 s snippets) must survive a crash: resume
+    # from the latest periodic checkpoint; already-probed milestones are
+    # skipped (their rows are in the log, not re-probed)
+    if tr.maybe_resume():
+        print(json.dumps({"resumed_at": tr.step}), flush=True)
     results = []
-    prev = 0
+    prev = tr.step
+    milestones = [m for m in milestones if m >= tr.step]
     for ms in milestones:
         if ms > prev:
             t0 = time.time()

@@ -41,7 +41,9 @@ class EncoderConfig:
     scalogram_n_bins: int = 128
     scalogram_fmin: float = 32.7  # C1; log-spaced (CQT-like) filterbank
     scalogram_fmax: float = 8000.0
-    scalogram_scale: str = "mel"  # 'mel' | 'log' (CQT-like)
+    # 'mel' | 'log' (geometric centers, fixed STFT window) | 'cqt' (true
+    # constant-Q: per-bin geometric windows, ops/scalogram.cqt)
+    scalogram_scale: str = "mel"
     # 2-D conv stack over (freq, time) for the scalogram encoder
     scalogram_channels: Tuple[int, ...] = (32, 64, 128, 256, 512)
     scalogram_kernels: Tuple[Tuple[int, int], ...] = (

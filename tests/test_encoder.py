@@ -69,6 +69,28 @@ def test_scalogram_encoder_shapes():
     assert z.shape == (2, 128, 512)
 
 
+def test_scalogram_encoder_cqt_scale():
+    """scalogram_scale='cqt' routes the front-end through the true
+    constant-Q bank and keeps the one-latent-per-hop contract."""
+    cfg = EncoderConfig(kind="scalogram", d_enc=64,
+                        scalogram_scale="cqt", scalogram_n_bins=48,
+                        scalogram_fmin=65.4, scalogram_fmax=4000.0,
+                        scalogram_channels=(8, 8),
+                        scalogram_kernels=((3, 3), (3, 3)),
+                        scalogram_freq_strides=(2, 2),
+                        scalogram_time_strides=(1, 1))
+    enc = ScalogramEncoder(cfg)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 8000)),
+                    jnp.float32)
+    params = enc.init(jax.random.key(0), x)
+    z = enc.apply(params, x)
+    assert z.shape == (2, 50, 64)
+    assert np.isfinite(np.asarray(z)).all()
+    # gradients flow through the kernel-bank matmul
+    g = jax.grad(lambda p: enc.apply(p, x).sum())(params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
+
+
 def test_norm_options_all_live():
     """Every advertised norm value must change behavior or raise
     (VERDICT r1 #4: 'batch' used to be a silent no-op)."""

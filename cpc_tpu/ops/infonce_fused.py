@@ -47,6 +47,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 _C_LIMIT = 1024  # score tile (K*B, C) fp32 must fit VMEM
 
+# Largest candidate pool at which this kernel MEASURABLY compiles and wins
+# on v5e (C=128 ~2 min compile, OK; C=192 scoped-vmem compile OOM; C=512
+# remote compile did not finish in 15 min — docs/DESIGN.md). make_step_fns
+# auto-selects the K-tiled kernel above this instead of warning-then-crash.
+MEASURED_C_ENVELOPE = 128
+
 
 def validity_mask_tm(T: int, K: int, B: int, Tp: int) -> jnp.ndarray:
     """(T, K*B) fp32 mask for the kernel's tau-indexed flat output."""

@@ -51,6 +51,38 @@ def make_optimizer(cfg: CPCConfig) -> optax.GradientTransformation:
     return optax.adam(lr, b1=t.beta1, b2=t.beta2)
 
 
+def resolve_fuse_heads(cfg: CPCConfig, mesh=None) -> bool:
+    """Trace-time loss-path chooser (SURVEY.md §8.4; VERDICT r2 next #4).
+
+    The fused heads+InfoNCE kernel's VMEM envelope is a CANDIDATE-POOL
+    limit: its score tile is (K*B_local, C) where C is the pool the gather
+    reassembles — the configured global batch under cross-replica DP, the
+    per-replica batch otherwise. Above the measured envelope
+    (infonce_fused.MEASURED_C_ENVELOPE) the fused kernel either fails the
+    scoped-vmem compile or never finishes compiling, so large-batch configs
+    auto-route to the K-tiled kernel (ops/infonce_pallas, whose score tile
+    is (B_local, C) — measured to compile and run through C=1024) instead
+    of crashing with a flag hint."""
+    loss_cfg = cfg.model.loss
+    if not (loss_cfg.use_pallas and loss_cfg.fuse_heads
+            and loss_cfg.negatives == "same_step"):
+        return False
+    n_dev = 1 if mesh is None else mesh.size
+    local_b = cfg.data.batch_size // max(n_dev, 1)
+    C = cfg.data.batch_size if (n_dev == 1 or loss_cfg.cross_replica) \
+        else local_b
+    from cpc_tpu.ops.infonce_fused import MEASURED_C_ENVELOPE
+    if C <= MEASURED_C_ENVELOPE:
+        return True
+    import warnings
+    warnings.warn(
+        f"loss.fuse_heads: candidate pool C={C} exceeds the fused kernel's "
+        f"measured envelope ({MEASURED_C_ENVELOPE}); auto-selecting the "
+        f"K-tiled InfoNCE kernel (same math, ~0.3 ms slower per step at "
+        f"batch 64)", stacklevel=2)
+    return False
+
+
 def make_step_fns(cfg: CPCConfig, model: CPCModel, mesh=None) -> StepFns:
     """Builds jitted train/eval steps. With a mesh of >1 devices, steps are
     shard_map-ed DP (batch sharded, grads psum-ed, negatives per
@@ -59,6 +91,7 @@ def make_step_fns(cfg: CPCConfig, model: CPCModel, mesh=None) -> StepFns:
     loss_cfg = cfg.model.loss
     normalize = cfg.data.normalize
     augment = cfg.data.augment
+    fuse_heads = resolve_fuse_heads(cfg, mesh)
     dropout = (cfg.model.ar.kind == "transformer"
                and cfg.model.ar.dropout > 0.0)
 
@@ -80,8 +113,7 @@ def make_step_fns(cfg: CPCConfig, model: CPCModel, mesh=None) -> StepFns:
             if dropout:
                 rngs, train = {"dropout": k_drop}, True
         gather_axis = axis_name if (axis_name and loss_cfg.cross_replica) else None
-        if (loss_cfg.use_pallas and loss_cfg.fuse_heads
-                and loss_cfg.negatives == "same_step"):
+        if fuse_heads:
             # fused heads+InfoNCE: preds never materialize (ops/infonce_fused)
             z, c = model.apply(params, x, train=train, rngs=rngs,
                                method=CPCModel.latents)

@@ -34,8 +34,13 @@ Contracts and deviations (explicit):
     lax.scan GRU carry makes chunking exactly associative (the bf16 Pallas
     training path keeps fp32 hidden state in kernel scratch that cannot be
     carried across calls).
-  * One stream per extractor (B = 1); transformer gar is rejected (no
-    constant-size recurrent state — use windowed extract_features).
+  * One stream per extractor (B = 1).
+  * gar state: GRU carries its (num_layers, 1, H) hidden state; the
+    transformer carries a KV cache (flax decode-mode attention) and each
+    pushed latent runs CausalTransformer.extend() — exact equality with
+    the offline forward, memory O(max_len). A transformer stream is
+    bounded by ar.max_len latents, exactly like the offline forward
+    (push() raises at the same point the offline call would).
 
 jit note: the jitted input is the sliced VALID window (rf + (n-1)*down
 samples), not the raw buffer, so a fixed chunk size settles into at most
@@ -79,10 +84,8 @@ class StreamingExtractor:
                 "streaming extraction supports the conv1d encoder only "
                 f"(got {cfg.encoder.kind!r}); the scalogram front-end is "
                 "frame-based — use windowed extract_features")
-        if cfg.ar.kind != "gru":
-            raise ValueError(
-                "streaming extraction requires the GRU gar (constant-size "
-                "state); use windowed extract_features for the transformer")
+        if cfg.ar.kind not in ("gru", "transformer"):
+            raise ValueError(f"unknown gar kind {cfg.ar.kind!r}")
         if cfg.encoder.norm in ("batch", "group"):
             raise ValueError(
                 f"encoder norm {cfg.encoder.norm!r} computes statistics over "
@@ -103,22 +106,58 @@ class StreamingExtractor:
                                              cfg.encoder.strides)
         self._stats = None if stats is None else (float(stats[0]),
                                                   float(stats[1]))
+        self._is_tr = cfg.ar.kind == "transformer"
+        if self._is_tr:
+            from cpc_tpu.models.transformer import CausalTransformer
+            # decode=True twin of the gar: same parameter tree, incremental
+            # KV-cache extend() path. The cache collection is created by an
+            # init at FULL max_len length (flax sizes cached_key/value to
+            # the init call's sequence), then each new latent attends over
+            # it via extend().
+            self._tr = CausalTransformer(ar, dtype=jnp.float32,
+                                         param_dtype=jnp.float32,
+                                         decode=True)
+            d_enc = cfg.encoder.d_enc
+            tr_vars = self._tr.init(
+                jax.random.key(0),
+                jnp.zeros((1, ar.max_len, d_enc), jnp.float32))
+            self._cache0 = tr_vars["cache"]
+            self.max_latents = ar.max_len
+
+            def tr_extend(gar_params, cache, z_tokens):
+                # scan extend() over the chunk's latents; the KV cache (and
+                # flax's per-layer cache_index) is the carry
+                def step(cache, z_t):
+                    c_t, upd = self._tr.apply(
+                        {"params": gar_params, "cache": cache},
+                        z_t[None, None, :], method=CausalTransformer.extend,
+                        mutable=["cache"])
+                    return upd["cache"], c_t[0, 0]
+
+                return jax.lax.scan(step, cache, z_tokens)
+
+            self._tr_extend = jax.jit(tr_extend)
         self._fwd = jax.jit(self._forward)
+        self._gru_ctx = jax.jit(self._gru_context)
         self.reset()
 
     def reset(self) -> None:
         self._resid = np.zeros(0, np.float32)
-        self._h = None  # (num_layers, 1, H) after the first push
+        self._h = None  # GRU: (num_layers, 1, H) after the first push
+        if self._is_tr:
+            self._cache = jax.tree.map(jnp.copy, self._cache0)
+            self._n_seen = 0
 
-    def _forward(self, params, buf, h):
+    def _forward(self, params, buf):
         x = buf[None, :]  # (1, L)
         if self._stats is not None:
             mean, std = self._stats
             x = (x - mean) / std
-        z = self._model.apply(params, x, method=CPCModel.encode)
-        c, h = self._model.apply(params, z, h,
+        return self._model.apply(params, x, method=CPCModel.encode)
+
+    def _gru_context(self, params, z, h):
+        return self._model.apply(params, z, h,
                                  method=CPCModel.context_with_state)
-        return z, c, h
 
     def push(self, chunk: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """chunk (T,) float32 -> (z (n_new, d_enc), c (n_new, d_ar)); n_new
@@ -132,6 +171,19 @@ class StreamingExtractor:
                     np.zeros((0, d_ar), np.float32))
         n = (len(buf) - self.rf) // self.down + 1
         window = buf[:self.rf + (n - 1) * self.down]
-        z, c, self._h = self._fwd(self._params, jnp.asarray(window), self._h)
+        z = self._fwd(self._params, jnp.asarray(window))
+        if self._is_tr:
+            if self._n_seen + n > self.max_latents:
+                raise ValueError(
+                    f"stream exceeds the transformer's positional table: "
+                    f"{self._n_seen + n} latents > max_len "
+                    f"{self.max_latents} (the offline forward rejects the "
+                    f"same length); reset() or raise ar.max_len")
+            self._cache, c = self._tr_extend(
+                self._params["params"]["gar"], self._cache, z[0])
+            self._n_seen += n
+            c = c[None]
+        else:
+            c, self._h = self._gru_ctx(self._params, z, self._h)
         self._resid = buf[n * self.down:]
         return np.asarray(z[0], np.float32), np.asarray(c[0], np.float32)

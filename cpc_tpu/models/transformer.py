@@ -6,12 +6,25 @@ Sequence lengths in this workload are snippet-bounded (~128 latents,
 SURVEY.md §6.7), so plain O(T^2) attention is MXU-friendly and nowhere near
 memory limits; the causal mask is applied as an additive -inf bias inside a
 single fused softmax.
+
+Streaming (SURVEY.md §4.5): with `decode=True` the same parameter tree runs
+an incremental KV-cache path — `extend()` consumes ONE new latent, attends
+over the cached keys/values of everything already seen (flax's MHA decode
+cache), and emits that position's context exactly as the offline forward
+would. cpc_tpu.eval.streaming scans extend() over each pushed chunk.
+
+Module layout note: submodules are declared in setup() with the names flax's
+nn.compact auto-numbering used to generate (LayerNorm_0,
+MultiHeadDotProductAttention_0, ...) so existing checkpoints and golden
+fixtures load unchanged; setup-style is required for __call__ and extend()
+to share parameters.
 """
 
 from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -25,27 +38,38 @@ class _Block(nn.Module):
     dropout: float
     dtype: Any
     param_dtype: Any
+    decode: bool = False
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
-                 deterministic: bool = True) -> jnp.ndarray:
-        h = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype)(x)
-        h = nn.MultiHeadDotProductAttention(
+    def setup(self):
+        self.ln_attn = nn.LayerNorm(dtype=self.dtype,
+                                    param_dtype=self.param_dtype,
+                                    name="LayerNorm_0")
+        self.attn = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             dropout_rate=self.dropout,
-            deterministic=deterministic,
-        )(h, h, mask=mask)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+            decode=self.decode,
+            name="MultiHeadDotProductAttention_0",
+        )
+        self.drop = nn.Dropout(self.dropout)
+        self.ln_mlp = nn.LayerNorm(dtype=self.dtype,
+                                   param_dtype=self.param_dtype,
+                                   name="LayerNorm_1")
+        self.fc1 = nn.Dense(self.d_model * self.mlp_ratio, dtype=self.dtype,
+                            param_dtype=self.param_dtype, name="Dense_0")
+        self.fc2 = nn.Dense(self.d_model, dtype=self.dtype,
+                            param_dtype=self.param_dtype, name="Dense_1")
+
+    def __call__(self, x: jnp.ndarray, mask,
+                 deterministic: bool = True) -> jnp.ndarray:
+        h = self.ln_attn(x)
+        h = self.attn(h, h, mask=mask, deterministic=deterministic)
+        h = self.drop(h, deterministic=deterministic)
         x = x + h
-        h = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype)(x)
-        h = nn.Dense(self.d_model * self.mlp_ratio, dtype=self.dtype,
-                     param_dtype=self.param_dtype)(h)
-        h = nn.gelu(h)
-        h = nn.Dense(self.d_model, dtype=self.dtype,
-                     param_dtype=self.param_dtype)(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = self.ln_mlp(x)
+        h = self.fc2(nn.gelu(self.fc1(h)))
+        h = self.drop(h, deterministic=deterministic)
         return x + h
 
 
@@ -55,33 +79,69 @@ class CausalTransformer(nn.Module):
     config: ArConfig
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    decode: bool = False  # KV-cache incremental mode (streaming consumer)
 
-    @nn.compact
-    def __call__(self, z: jnp.ndarray,
-                 deterministic: bool = True) -> jnp.ndarray:
+    def setup(self):
         cfg = self.config
-        B, T, _ = z.shape
-        if T > cfg.max_len:
-            raise ValueError(f"sequence length {T} > max_len {cfg.max_len}")
-        x = nn.Dense(cfg.d_ar, dtype=self.dtype, param_dtype=self.param_dtype,
-                     name="in_proj")(z.astype(self.dtype))
-        pos = self.param(
-            "pos_embed", nn.initializers.normal(0.02), (cfg.max_len, cfg.d_ar),
-            self.param_dtype,
-        )
-        x = x + pos[:T].astype(self.dtype)[None]
-        x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
-        mask = nn.make_causal_mask(jnp.ones((B, T)), dtype=bool)
-        for i in range(cfg.num_layers):
-            x = _Block(
+        self.in_proj = nn.Dense(cfg.d_ar, dtype=self.dtype,
+                                param_dtype=self.param_dtype, name="in_proj")
+        self.pos_embed = self.param(
+            "pos_embed", nn.initializers.normal(0.02),
+            (cfg.max_len, cfg.d_ar), self.param_dtype)
+        self.in_drop = nn.Dropout(cfg.dropout)
+        self.blocks = [
+            _Block(
                 d_model=cfg.d_ar,
                 num_heads=cfg.num_heads,
                 mlp_ratio=cfg.mlp_ratio,
                 dropout=cfg.dropout,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
+                decode=self.decode,
                 name=f"block{i}",
-            )(x, mask, deterministic=deterministic)
-        x = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
-                         name="final_norm")(x)
-        return x
+            )
+            for i in range(cfg.num_layers)
+        ]
+        self.final_norm = nn.LayerNorm(dtype=self.dtype,
+                                       param_dtype=self.param_dtype,
+                                       name="final_norm")
+        if self.decode:
+            # position counter for extend(); variables must be created in
+            # setup for setup-style modules
+            self._pos = self.variable("cache", "pos_index",
+                                      lambda: jnp.zeros((), jnp.int32))
+
+    def __call__(self, z: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
+        cfg = self.config
+        B, T, _ = z.shape
+        if T > cfg.max_len:
+            raise ValueError(f"sequence length {T} > max_len {cfg.max_len}")
+        x = self.in_proj(z.astype(self.dtype))
+        x = x + self.pos_embed[:T].astype(self.dtype)[None]
+        x = self.in_drop(x, deterministic=deterministic)
+        mask = nn.make_causal_mask(jnp.ones((B, T)), dtype=bool)
+        for blk in self.blocks:
+            x = blk(x, mask, deterministic=deterministic)
+        return self.final_norm(x)
+
+    def extend(self, z_t: jnp.ndarray) -> jnp.ndarray:
+        """One incremental step: z_t (B, 1, D) -> c_t (B, 1, d_ar), attending
+        over the KV cache of all previously extended positions. Requires a
+        decode=True module whose 'cache' collection was created by an init
+        at full max_len length (see eval.streaming); apply with
+        mutable=['cache']. Exactly equals column t of the offline forward."""
+        if not self.decode:
+            raise ValueError("extend() requires decode=True (KV cache)")
+        pos = self._pos
+        i = pos.value
+        x = self.in_proj(z_t.astype(self.dtype))
+        p = jax.lax.dynamic_slice_in_dim(self.pos_embed, i, 1, axis=0)
+        x = x + p.astype(self.dtype)[None]
+        for blk in self.blocks:
+            # flax's decode-mode MHA inserts this step's K/V at its own
+            # cache_index and masks attention to positions <= it
+            x = blk(x, mask=None, deterministic=True)
+        if not self.is_initializing():
+            pos.value = i + 1
+        return self.final_norm(x)

@@ -127,6 +127,13 @@ def main() -> None:
         if ms > prev:
             t0 = time.time()
             tr.train(ms)
+            if tr.preempted:
+                # graceful SIGTERM: the Trainer checkpointed at the
+                # interrupt step; exit instead of probing at a mislabeled
+                # milestone (a rerun resumes from the checkpoint)
+                print(json.dumps({"preempted_at": tr.step}), flush=True)
+                tr.close()
+                return
             print(json.dumps({"trained_to": ms,
                               "secs": round(time.time() - t0, 1)}),
                   flush=True)

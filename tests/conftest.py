@@ -15,7 +15,10 @@ os.environ["XLA_FLAGS"] = (
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not os.environ.get("CPC_TPU_TESTS"):
+    # CPC_TPU_TESTS=1 keeps the real backend for the on-TPU golden pin
+    # (tests/test_golden_tpu.py); everything else runs on the virtual mesh
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_prng_impl", "threefry2x32")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

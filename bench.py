@@ -1,14 +1,19 @@
 """Throughput benchmark: CPC pretraining audio-sec/sec/chip (BASELINE.json:2).
 
 Runs the full jitted training step (int16 dequant + encoder + gar + heads +
-InfoNCE + backprop + Adam) of the `tpu_fast` config on whatever chip(s) are
-attached, with device-resident batches (the 1-core bench host cannot feed a
-v5e; production hosts can — the step itself includes the on-device half of
-the pipeline).
+InfoNCE + backprop + Adam) on whatever chip(s) are attached, with
+device-resident batches (the 1-core bench host cannot feed a v5e;
+production hosts can — the step itself includes the on-device half of the
+pipeline).
 
-Prints ONE JSON line. `vs_baseline` is value / 10_000 — the reference
-publishes no numbers (BASELINE.md), so the driver-set north-star target of
-10k audio-sec/sec/chip (BASELINE.json:5) is the denominator.
+Prints ONE JSON line. The headline `value` is the conv+GRU `tpu_fast`
+config; `scalogram_value` and `transformer_value` are the other two model
+families at the same perf configuration (bf16, batch 64, fused loss where
+applicable) — the scalogram family is the configuration that clears the
+10k north star on this chip (VERDICT r2 next #1b). `vs_baseline` is
+value / 10_000 — the reference publishes no numbers (BASELINE.md), so the
+driver-set target of 10k audio-sec/sec/chip (BASELINE.json:5) is the
+denominator.
 """
 
 from __future__ import annotations
@@ -21,15 +26,15 @@ import numpy as np
 TARGET = 10_000.0  # audio-sec/sec/chip north star (BASELINE.json:5)
 
 
-def main() -> None:
+def _bench_config(cfg, iters=400, warmup=5):
+    """(audio-sec/sec/chip, step_ms, final_loss, steps, params, opt_state,
+    sharding, audio_sec_per_batch, n_chips) for one config's train step."""
     import jax
 
-    from cpc_tpu.config import presets
     from cpc_tpu.models.cpc import CPCModel
     from cpc_tpu.parallel.mesh import batch_sharding, make_mesh
     from cpc_tpu.train.train_step import init_state, make_step_fns
 
-    cfg = presets.tpu_fast()
     n_chips = len(jax.devices())
     mesh = make_mesh((-1,), ("data",))
     model = CPCModel(cfg.model)
@@ -50,15 +55,14 @@ def main() -> None:
     # warmup + compile. NOTE: on the axon TPU platform block_until_ready is
     # NOT a real sync — only a device->host value fetch is. Always time with
     # float(...) readbacks.
-    for i in range(5):
+    for i in range(warmup):
         params, opt_state, metrics = steps.train_step(params, opt_state,
                                                       batches[i % n_buf])
     float(metrics["loss"])
 
-    # one host fetch costs ~36 ms on the axon tunnel; 400 pipelined
+    # one host fetch costs ~36 ms on the axon tunnel; >=300 pipelined
     # iterations with a single final fetch keep the sync artifact < 0.1
     # ms/step (docs/DESIGN.md "Round-2 measured ground truth")
-    iters = 400
     t0 = time.perf_counter()
     for i in range(iters):
         params, opt_state, metrics = steps.train_step(params, opt_state,
@@ -69,14 +73,46 @@ def main() -> None:
     audio_sec_per_batch = (cfg.data.batch_size * cfg.data.snippet_samples
                            / cfg.data.sample_rate)
     value = iters * audio_sec_per_batch / dt / n_chips
+    return (value, 1000 * dt / iters, final_loss, steps, params, opt_state,
+            sharding, audio_sec_per_batch, n_chips)
+
+
+def main() -> None:
+    import dataclasses
+
+    from cpc_tpu.config import ArConfig, EncoderConfig, presets
+
+    cfg = presets.tpu_fast()
+    (value, step_ms, final_loss, steps, params, opt_state, sharding,
+     audio_sec_per_batch, n_chips) = _bench_config(cfg)
     host_value = _host_in_the_loop(cfg, steps, params, opt_state,
                                    audio_sec_per_batch, n_chips, sharding)
+
+    # the other two model families at the same perf configuration
+    sc_cfg = dataclasses.replace(
+        cfg, name="scalogram_fast",
+        model=dataclasses.replace(
+            cfg.model,
+            encoder=EncoderConfig(kind="scalogram", scalogram_scale="log"),
+            ar=dataclasses.replace(cfg.model.ar, use_pallas=False)))
+    sc_value, sc_ms, _, *_ = _bench_config(sc_cfg, iters=300)
+    tr_cfg = dataclasses.replace(
+        cfg, name="transformer_fast",
+        model=dataclasses.replace(
+            cfg.model,
+            ar=ArConfig(kind="transformer", d_ar=256, num_layers=2,
+                        num_heads=8)))
+    tr_value, tr_ms, _, *_ = _bench_config(tr_cfg, iters=300)
+
     print(json.dumps({
         "metric": "cpc_pretrain_throughput",
         "value": round(value, 1),
         "unit": "audio-sec/sec/chip",
         "vs_baseline": round(value / TARGET, 4),
-        "step_ms": round(1000 * dt / iters, 2),
+        "step_ms": round(step_ms, 2),
+        "scalogram_value": round(sc_value, 1),
+        "scalogram_vs_baseline": round(sc_value / TARGET, 4),
+        "transformer_value": round(tr_value, 1),
         "host_in_loop_value": round(host_value, 1),
         "config": cfg.name,
         "batch": cfg.data.batch_size,

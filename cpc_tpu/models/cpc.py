@@ -85,6 +85,17 @@ class CPCModel(nn.Module):
         z = self.encoder(x)
         return z, self._gar(z, train)
 
+    def latents_tm(self, x: jnp.ndarray, train: bool = False):
+        """(z (B, T, D), c_tm (T, B, d_ar)) — c in the TIME-MAJOR layout the
+        fused heads+InfoNCE kernel consumes. For the GRU gar this is the
+        recurrence's native output layout, so the model-out/loss-in
+        transpose pair cancels entirely; the transformer keeps its (B, T, A)
+        internals and transposes once here (same cost as before)."""
+        z = self.encoder(x)
+        if self.config.ar.kind == "gru":
+            return z, self.gar(z, time_major_out=True)
+        return z, self._gar(z, train).transpose(1, 0, 2)
+
     def encode(self, x: jnp.ndarray) -> jnp.ndarray:
         """Standalone latents z (feature-extraction API, SURVEY.md §4.5)."""
         return self.encoder(x)

@@ -37,23 +37,31 @@ class GRU(nn.Module):
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, h0: Optional[jnp.ndarray] = None,
-        return_state: bool = False,
+        return_state: bool = False, time_major_out: bool = False,
     ):
         """h0/state layout: (num_layers, B, H). With return_state, returns
         (output, final_state) — feeding final_state back as h0 continues the
-        recurrence exactly (the streaming consumer, SURVEY.md §4.5)."""
+        recurrence exactly (the streaming consumer, SURVEY.md §4.5).
+
+        time_major_out returns (T, B, H) — the recurrence's NATIVE layout
+        (the scan emits time-major; the (B, T, H) default is a transpose).
+        The fused heads+InfoNCE loss consumes time-major directly, so the
+        transpose pair model-out/loss-in cancels (VERDICT r2 next #1a)."""
         h = x.astype(self.dtype)
         finals = []
         for layer in range(self.num_layers):
+            last = layer == self.num_layers - 1
             h = _GRULayer(
                 hidden_size=self.hidden_size,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 use_pallas=self.use_pallas,
                 name=f"layer{layer}",
-            )(h, None if h0 is None else h0[layer])
+            )(h, None if h0 is None else h0[layer],
+              time_major_out=time_major_out and last)
             if return_state:
-                finals.append(h[:, -1])
+                finals.append(h[-1] if (time_major_out and last)
+                              else h[:, -1])
         if return_state:
             return h, jnp.stack(finals)
         return h
@@ -67,7 +75,8 @@ class _GRULayer(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, h0: Optional[jnp.ndarray] = None
+        self, x: jnp.ndarray, h0: Optional[jnp.ndarray] = None,
+        time_major_out: bool = False,
     ) -> jnp.ndarray:
         B, T, D = x.shape
         H = self.hidden_size
@@ -96,7 +105,8 @@ class _GRULayer(nn.Module):
             from cpc_tpu.ops.gru_pallas import gru_scan
             interpret = jax.default_backend() != "tpu"
             hs = gru_scan(xproj, wh, bh, h0.astype(jnp.float32), interpret)
-            return hs.transpose(1, 0, 2).astype(self.dtype)
+            hs = hs.astype(self.dtype)
+            return hs if time_major_out else hs.transpose(1, 0, 2)
 
         def step(h, xp):
             # torch.nn.GRU gate order: r, z, n
@@ -110,7 +120,7 @@ class _GRULayer(nn.Module):
             return h_new, h_new
 
         _, hs = jax.lax.scan(step, h0, xproj)  # (T, B, H)
-        return hs.transpose(1, 0, 2)  # (B, T, H)
+        return hs if time_major_out else hs.transpose(1, 0, 2)  # (B, T, H)
 
 
 def gru_reference_loop(params: dict, x: jnp.ndarray) -> jnp.ndarray:

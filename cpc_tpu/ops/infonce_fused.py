@@ -313,7 +313,7 @@ _heads_nll.defvjp(_fwd_rule, _bwd_rule)
 
 
 def fused_heads_infonce(
-    c: jnp.ndarray,      # (B, T, A) context (gar output)
+    c: jnp.ndarray,      # (B, T, A) context — or (T, B, A) if c_time_major
     z: jnp.ndarray,      # (B, T, D) encoder latents
     W: jnp.ndarray,      # (A, K*D) fused prediction-heads weight
     *,
@@ -321,13 +321,21 @@ def fused_heads_infonce(
     axis_name=None,
     compute_dtype=None,
     interpret: bool = False,
+    c_time_major: bool = False,
 ) -> Tuple[jnp.ndarray, dict]:
     """Loss + per-k accuracy straight from (c, z, W) — same semantics as
     infonce_loss_and_metrics(preds=heads(c), z, negatives='same_step',
     axis_name=...), but preds never exists in HBM in any layout other than
-    the heads matmul's natural output."""
+    the heads matmul's natural output.
+
+    c_time_major: c is already (T, B, A) — CPCModel.latents_tm hands the
+    GRU's native scan layout straight through, cancelling the transpose
+    pair at the model/loss boundary."""
     interpret = interpret or jax.default_backend() != "tpu"
-    B, T, A = c.shape
+    if c_time_major:
+        T, B, A = c.shape
+    else:
+        B, T, A = c.shape
     D = z.shape[-1]
     K = num_steps
     Tp = T - K
@@ -338,7 +346,7 @@ def fused_heads_infonce(
         c = c.astype(compute_dtype)
         z = z.astype(compute_dtype)
         W = W.astype(compute_dtype)
-    c_tm = c.transpose(1, 0, 2)  # (T, B, A) — 4 MB, cheap
+    c_tm = c if c_time_major else c.transpose(1, 0, 2)  # (T, B, A)
     z_loc = z.transpose(1, 0, 2)  # (T, B, D)
     if axis_name is not None:
         # tiled gather along the candidate axis: (T, R*B, D), no re-layout

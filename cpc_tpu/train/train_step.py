@@ -114,14 +114,18 @@ def make_step_fns(cfg: CPCConfig, model: CPCModel, mesh=None) -> StepFns:
                 rngs, train = {"dropout": k_drop}, True
         gather_axis = axis_name if (axis_name and loss_cfg.cross_replica) else None
         if fuse_heads:
-            # fused heads+InfoNCE: preds never materialize (ops/infonce_fused)
-            z, c = model.apply(params, x, train=train, rngs=rngs,
-                               method=CPCModel.latents)
+            # fused heads+InfoNCE: preds never materialize, and c stays in
+            # the GRU's native time-major layout all the way into the
+            # kernel (ops/infonce_fused; latents_tm cancels the transpose
+            # pair at the model/loss boundary)
+            z, c_tm = model.apply(params, x, train=train, rngs=rngs,
+                                  method=CPCModel.latents_tm)
             W = params["params"]["prediction_heads"]["kernel"]
             kdtype = jnp.bfloat16 if loss_cfg.pallas_bf16 else jnp.float32
             loss, metrics = fused_heads_infonce(
-                c, z, W, num_steps=loss_cfg.prediction_steps,
-                axis_name=gather_axis, compute_dtype=kdtype)
+                c_tm, z, W, num_steps=loss_cfg.prediction_steps,
+                axis_name=gather_axis, compute_dtype=kdtype,
+                c_time_major=True)
             return loss, metrics
         out = model.apply(params, x, train=train, rngs=rngs)
         loss, metrics = infonce_loss_and_metrics(

@@ -25,6 +25,10 @@ import sys
 
 import numpy as np
 
+# direct-script regen runs with tests/ as sys.path[0]; make the repo root
+# importable (pytest gets this from conftest)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 _FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
                         "golden_tpu_bf16.json")
 

@@ -134,3 +134,23 @@ def test_transformer_dropout_trains():
             params, opt_state, jnp.asarray(batch),
             jax.random.key(i))
     assert np.isfinite(float(metrics["loss"]))
+
+
+@pytest.mark.parametrize("ar_kind,num_layers", [("gru", 1), ("gru", 2),
+                                                ("transformer", 2)])
+def test_latents_tm_matches_latents(ar_kind, num_layers):
+    """latents_tm hands the fused loss time-major c without changing the
+    math: it must equal latents() transposed, for every gar."""
+    import numpy as np
+    cfg = _tiny_model(ar=ArConfig(kind=ar_kind, d_ar=16,
+                                  num_layers=num_layers, num_heads=4))
+    model = CPCModel(cfg)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 800)),
+                    jnp.float32)
+    params = model.init(jax.random.key(0), x)
+    z, c = model.apply(params, x, method=CPCModel.latents)
+    z2, c_tm = model.apply(params, x, method=CPCModel.latents_tm)
+    np.testing.assert_array_equal(np.asarray(z), np.asarray(z2))
+    np.testing.assert_allclose(np.asarray(c_tm),
+                               np.asarray(c).transpose(1, 0, 2),
+                               rtol=1e-6, atol=1e-7)

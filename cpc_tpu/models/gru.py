@@ -102,11 +102,20 @@ class _GRULayer(nn.Module):
             h0 = jnp.zeros((B, H), self.dtype)
 
         if self.use_pallas:
-            from cpc_tpu.ops.gru_pallas import gru_scan
-            interpret = jax.default_backend() != "tpu"
-            hs = gru_scan(xproj, wh, bh, h0.astype(jnp.float32), interpret)
-            hs = hs.astype(self.dtype)
-            return hs if time_major_out else hs.transpose(1, 0, 2)
+            from cpc_tpu.ops.gru_pallas import MEASURED_B_ENVELOPE, gru_scan
+            if B > MEASURED_B_ENVELOPE:
+                import warnings
+                warnings.warn(
+                    f"ar.use_pallas: batch {B} exceeds the GRU kernel's "
+                    f"measured compile envelope ({MEASURED_B_ENVELOPE} on "
+                    f"v5e); using the lax.scan recurrence (same math)",
+                    stacklevel=2)
+            else:
+                interpret = jax.default_backend() != "tpu"
+                hs = gru_scan(xproj, wh, bh, h0.astype(jnp.float32),
+                              interpret)
+                hs = hs.astype(self.dtype)
+                return hs if time_major_out else hs.transpose(1, 0, 2)
 
         def step(h, xp):
             # torch.nn.GRU gate order: r, z, n

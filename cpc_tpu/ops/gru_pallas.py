@@ -30,6 +30,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Largest batch at which this kernel MEASURABLY compiles on v5e: B=384 OK,
+# B=512 crashes the Mosaic compile helper (r3 measurement, benchmarks/
+# exp_envelope.py isolation). models.gru auto-falls back to the lax.scan
+# recurrence above this — large-batch configs build without manual flags,
+# matching the loss-path chooser's contract (SURVEY.md §8.4).
+MEASURED_B_ENVELOPE = 384
+
 
 def _gates(xp, hp, H: int):
     """torch GRU gate math, fp32. xp/hp: (B, 3H). Returns r, z, n, hn_lin."""

@@ -88,3 +88,22 @@ def test_oversize_pool_builds_and_steps(monkeypatch):
     _, _, m_k = steps_k.train_step(params, opt_state, jnp.asarray(b))
     np.testing.assert_allclose(float(m_k["loss"]), float(m_f["loss"]),
                                rtol=1e-4)
+
+
+def test_gru_pallas_envelope_fallback(monkeypatch):
+    """Batches above the GRU kernel's measured compile envelope fall back
+    to the lax.scan recurrence with a warning — same math, no flags."""
+    import cpc_tpu.ops.gru_pallas as gp
+    from cpc_tpu.models.gru import GRU
+    gru = GRU(hidden_size=8, use_pallas=True)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((6, 10, 4)),
+                    jnp.float32)
+    params = gru.init(jax.random.key(0), x)
+    ref = gru.apply(params, x)  # B=6 <= patched envelope: kernel path
+    monkeypatch.setattr(gp, "MEASURED_B_ENVELOPE", 4)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        out = gru.apply(params, x)  # B=6 > 4: scan path
+    assert any("envelope" in str(w.message) for w in rec)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)

@@ -35,6 +35,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--steps", type=int, default=None,
                    help="override train.num_steps")
     p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--snippet-samples", type=int, default=None,
+                   help="override data.snippet_samples (e.g. 40960 = 2.56 s "
+                        "at 16 kHz — longer context is the measured lever "
+                        "for cross-utterance structure; see RESULTS.md)")
     p.add_argument("--augment", action="store_true",
                    help="on-device waveform augmentation (gain/noise/shift/"
                         "polarity) inside the jitted step")
@@ -61,6 +65,10 @@ def main(argv=None) -> int:
     if args.batch_size is not None:
         cfg = dataclasses.replace(
             cfg, data=dataclasses.replace(cfg.data, batch_size=args.batch_size))
+    if args.snippet_samples is not None:
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data,
+                                          snippet_samples=args.snippet_samples))
     if args.augment:
         cfg = dataclasses.replace(
             cfg, data=dataclasses.replace(cfg.data, augment=True))

@@ -103,6 +103,19 @@ def infonce_loss_and_metrics(
         return ring_infonce_allsteps(preds[:, :Tp], z, axis_name=axis_name)
 
     if use_pallas:
+        from cpc_tpu.ops import infonce_pallas
+        if B > infonce_pallas.MEASURED_ROWS_ENVELOPE:
+            import warnings
+            warnings.warn(
+                f"loss.use_pallas: {B} prediction rows exceed the InfoNCE "
+                f"kernel's measured backward-compile envelope "
+                f"({infonce_pallas.MEASURED_ROWS_ENVELOPE} on v5e); using "
+                f"the jnp path (same math; under DP the per-replica row "
+                f"count is what matters, and it is usually far smaller)",
+                stacklevel=2)
+            use_pallas = False
+
+    if use_pallas:
         from cpc_tpu.ops.infonce_pallas import fused_infonce
         # bf16 wire halves the kernel's VMEM/HBM footprint AND the ICI bytes
         # of the cross-replica all-gather; accumulation stays fp32 inside.

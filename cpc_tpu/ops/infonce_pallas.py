@@ -48,6 +48,15 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+# Largest PRED-ROW batch at which this kernel's backward measurably
+# compiles on v5e (r3, benchmarks/exp_envelope.py isolation): B=512 full
+# train steps run; at B=1024 the forward compiles (461 s) but the backward
+# crashes the Mosaic compile helper. The candidate-pool axis C is NOT the
+# limit (C=1024 pools against <=512 rows compile and run — the
+# DP-realistic v5e-8 shapes). ops.infonce falls back to the jnp path above
+# this, mirroring the fused-heads and GRU envelope choosers.
+MEASURED_ROWS_ENVELOPE = 512
 from jax.experimental.pallas import tpu as pltpu
 
 _VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom under the ~16 MB per core

@@ -107,3 +107,21 @@ def test_gru_pallas_envelope_fallback(monkeypatch):
     assert any("envelope" in str(w.message) for w in rec)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_infonce_pallas_rows_envelope_fallback(monkeypatch):
+    """Prediction-row counts above the K-tiled kernel's measured backward
+    envelope fall back to the jnp scorer with a warning — same loss."""
+    import cpc_tpu.ops.infonce_pallas as ip
+    from cpc_tpu.ops.infonce import infonce_loss_and_metrics
+    rng = np.random.default_rng(0)
+    B, T, K, D = 6, 12, 2, 8
+    preds = jnp.asarray(rng.standard_normal((B, T, K, D)), jnp.float32)
+    z = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+    ref, _ = infonce_loss_and_metrics(preds, z, use_pallas=False)
+    monkeypatch.setattr(ip, "MEASURED_ROWS_ENVELOPE", 4)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        got, m = infonce_loss_and_metrics(preds, z, use_pallas=True)
+    assert any("envelope" in str(w.message) for w in rec)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-6)

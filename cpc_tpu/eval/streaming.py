@@ -77,8 +77,17 @@ class StreamingExtractor:
     the offline VALID forward of the concatenated stream, elementwise."""
 
     def __init__(self, model: CPCModel, params, *,
-                 stats: Optional[Tuple[float, float]] = None):
+                 stats: Optional[Tuple[float, float]] = None,
+                 n_streams: int = 1):
+        """n_streams > 1 serves that many INDEPENDENT streams in lockstep
+        (every push carries one equal-length chunk per stream — the
+        standard batched-serving shape): one jitted forward per push for
+        the whole batch, per-stream GRU state rows / KV-cache batch rows.
+        push() then takes (n_streams, T) and returns (n_streams, n, d)."""
         cfg = model.config
+        if n_streams < 1:
+            raise ValueError(f"n_streams must be >= 1, got {n_streams}")
+        self.n_streams = n_streams
         if cfg.encoder.kind != "conv1d":
             raise ValueError(
                 "streaming extraction supports the conv1d encoder only "
@@ -120,19 +129,20 @@ class StreamingExtractor:
             d_enc = cfg.encoder.d_enc
             tr_vars = self._tr.init(
                 jax.random.key(0),
-                jnp.zeros((1, ar.max_len, d_enc), jnp.float32))
+                jnp.zeros((n_streams, ar.max_len, d_enc), jnp.float32))
             self._cache0 = tr_vars["cache"]
             self.max_latents = ar.max_len
 
             def tr_extend(gar_params, cache, z_tokens):
-                # scan extend() over the chunk's latents; the KV cache (and
-                # flax's per-layer cache_index) is the carry
+                # scan extend() over the chunk's latents (time-major
+                # (n, B, D)); the KV cache (and flax's per-layer
+                # cache_index) is the carry, batch rows = streams
                 def step(cache, z_t):
                     c_t, upd = self._tr.apply(
                         {"params": gar_params, "cache": cache},
-                        z_t[None, None, :], method=CausalTransformer.extend,
+                        z_t[:, None, :], method=CausalTransformer.extend,
                         mutable=["cache"])
-                    return upd["cache"], c_t[0, 0]
+                    return upd["cache"], c_t[:, 0]
 
                 return jax.lax.scan(step, cache, z_tokens)
 
@@ -142,14 +152,14 @@ class StreamingExtractor:
         self.reset()
 
     def reset(self) -> None:
-        self._resid = np.zeros(0, np.float32)
-        self._h = None  # GRU: (num_layers, 1, H) after the first push
+        self._resid = np.zeros((self.n_streams, 0), np.float32)
+        self._h = None  # GRU: (num_layers, n_streams, H) after first push
         if self._is_tr:
             self._cache = jax.tree.map(jnp.copy, self._cache0)
             self._n_seen = 0
 
     def _forward(self, params, buf):
-        x = buf[None, :]  # (1, L)
+        x = buf  # (n_streams, L)
         if self._stats is not None:
             mean, std = self._stats
             x = (x - mean) / std
@@ -160,17 +170,30 @@ class StreamingExtractor:
                                  method=CPCModel.context_with_state)
 
     def push(self, chunk: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        """chunk (T,) float32 -> (z (n_new, d_enc), c (n_new, d_ar)); n_new
-        is however many latents' receptive fields completed, possibly 0."""
-        buf = np.concatenate([self._resid, np.asarray(chunk, np.float32)])
-        if len(buf) < self.rf:
+        """chunk (T,) — or (n_streams, T) for a batched extractor — float32
+        -> (z (n_new, d_enc), c (n_new, d_ar)), batched shapes
+        (n_streams, n_new, d) when n_streams > 1; n_new is however many
+        latents' receptive fields completed, possibly 0."""
+        chunk = np.asarray(chunk, np.float32)
+        if chunk.ndim == 1:
+            chunk = np.broadcast_to(chunk, (1,) + chunk.shape) \
+                if self.n_streams == 1 else chunk
+        if chunk.ndim != 2 or chunk.shape[0] != self.n_streams:
+            raise ValueError(
+                f"chunk must be (T,) for one stream or ({self.n_streams}, T)"
+                f"; got shape {chunk.shape}")
+        buf = np.concatenate([self._resid, chunk], axis=1)
+        L = buf.shape[1]
+        d_enc = self._model.config.encoder.d_enc
+        d_ar = self._model.config.ar.d_ar
+        if L < self.rf:
             self._resid = buf
-            d_enc = self._model.config.encoder.d_enc
-            d_ar = self._model.config.ar.d_ar
-            return (np.zeros((0, d_enc), np.float32),
-                    np.zeros((0, d_ar), np.float32))
-        n = (len(buf) - self.rf) // self.down + 1
-        window = buf[:self.rf + (n - 1) * self.down]
+            shape = ((0, d_enc), (0, d_ar)) if self.n_streams == 1 else \
+                ((self.n_streams, 0, d_enc), (self.n_streams, 0, d_ar))
+            return np.zeros(shape[0], np.float32), np.zeros(shape[1],
+                                                            np.float32)
+        n = (L - self.rf) // self.down + 1
+        window = buf[:, :self.rf + (n - 1) * self.down]
         z = self._fwd(self._params, jnp.asarray(window))
         if self._is_tr:
             if self._n_seen + n > self.max_latents:
@@ -179,11 +202,16 @@ class StreamingExtractor:
                     f"{self._n_seen + n} latents > max_len "
                     f"{self.max_latents} (the offline forward rejects the "
                     f"same length); reset() or raise ar.max_len")
-            self._cache, c = self._tr_extend(
-                self._params["params"]["gar"], self._cache, z[0])
+            self._cache, c_tm = self._tr_extend(
+                self._params["params"]["gar"], self._cache,
+                z.transpose(1, 0, 2))  # (n, B, D) tokens
+            c = jnp.transpose(c_tm, (1, 0, 2))
             self._n_seen += n
-            c = c[None]
         else:
             c, self._h = self._gru_ctx(self._params, z, self._h)
-        self._resid = buf[n * self.down:]
-        return np.asarray(z[0], np.float32), np.asarray(c[0], np.float32)
+        self._resid = buf[:, n * self.down:]
+        z_np = np.asarray(z, np.float32)
+        c_np = np.asarray(c, np.float32)
+        if self.n_streams == 1:
+            return z_np[0], c_np[0]
+        return z_np, c_np

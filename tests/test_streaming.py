@@ -165,3 +165,29 @@ def test_gru_state_carry_matches_full_run():
     b, _ = gru.apply(params, x[:, 5:], ha, True)
     np.testing.assert_allclose(np.concatenate([a, b], axis=1), full,
                                rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("ar_kind", ["gru", "transformer"])
+def test_batched_streams_equal_offline(ar_kind):
+    """n_streams > 1 (batched serving): every stream's chunked output must
+    equal its own offline forward — states/caches never cross streams."""
+    model, params, cfg = _model(ar_kind=ar_kind)
+    rng = np.random.default_rng(9)
+    waves = rng.standard_normal((3, 4000)).astype(np.float32) * 0.3
+
+    ex = StreamingExtractor(model, params, n_streams=3)
+    cuts = [0, 900, 2100, 4000]
+    zs, cs = [], []
+    for a, b in zip(cuts[:-1], cuts[1:]):
+        z, c = ex.push(waves[:, a:b])
+        zs.append(z)
+        cs.append(c)
+    z_s = np.concatenate(zs, axis=1)
+    c_s = np.concatenate(cs, axis=1)
+    for i in range(3):
+        z_off, c_off = _offline_valid(model, params, cfg, waves[i])
+        np.testing.assert_allclose(z_s[i], z_off, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(c_s[i], c_off, rtol=1e-5, atol=2e-5)
+
+    with pytest.raises(ValueError, match="chunk must be"):
+        ex.push(waves[:2, :100])

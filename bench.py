@@ -112,7 +112,9 @@ def main() -> None:
         "step_ms": round(step_ms, 2),
         "scalogram_value": round(sc_value, 1),
         "scalogram_vs_baseline": round(sc_value / TARGET, 4),
+        "scalogram_step_ms": round(sc_ms, 2),
         "transformer_value": round(tr_value, 1),
+        "transformer_step_ms": round(tr_ms, 2),
         "host_in_loop_value": round(host_value, 1),
         "config": cfg.name,
         "batch": cfg.data.batch_size,

@@ -1,14 +1,13 @@
-"""K-tiled InfoNCE kernel envelope at large candidate pools (VERDICT r2
-next #4): measure compile + step viability of the auto-selected fallback
-path (ops/infonce_pallas) at C in {256, 512, 1024} — the pools a v5e-8
-cross-replica dp_global_negatives run reassembles at per-replica batches
-32/64/128.
-
-Measures the SINGLE-CHIP equivalent: batch C with cross_replica off — the
-kernel sees exactly the (C, Tp, K, D) preds vs (C, T, D) pool it would see
-per replica after the gather, which is what decides the Mosaic compile and
-the VMEM fit. Full train step (encoder+GRU included) so the number is the
-deployable step time.
+"""Large-batch full-step envelope (VERDICT r2 next #4): compile + step
+viability of the AUTO-SELECTED production path at batch C in
+{256, 512, 1024} on one chip, whatever the trace-time choosers pick
+(K-tiled InfoNCE past the fused C=128 envelope; lax.scan GRU past B=384;
+jnp scorer past 512 prediction rows). The printed row is therefore the
+deployable single-chip step, not a single kernel's number — per-kernel
+envelope isolation results live in docs/DESIGN.md "Large-pool envelope"
+(measured r3: K-tiled fwd compiles at 1024 rows, its BACKWARD crashes the
+Mosaic helper, and the DP-realistic per-replica shapes rows<=128 x pool
+<=1024 all run).
 
 Run on the chip: python benchmarks/exp_envelope.py [--pools 256,512]
 """

@@ -116,8 +116,11 @@ def main() -> None:
     model = CPCModel(cfg.model)
     tr = Trainer(cfg, train_ds, workdir=args.workdir)
     # long studies (hours at 5.12 s snippets) must survive a crash: resume
-    # from the latest periodic checkpoint; already-probed milestones are
-    # skipped (their rows are in the log, not re-probed)
+    # from the latest periodic checkpoint. Milestones BELOW the restored
+    # step are skipped (their rows are in the log); a milestone exactly AT
+    # the restored step is re-probed deliberately — the crash may have
+    # landed between its checkpoint and its probe, and re-probing is
+    # idempotent (deterministic split seeds)
     if tr.maybe_resume():
         print(json.dumps({"resumed_at": tr.step}), flush=True)
     results = []

@@ -40,14 +40,19 @@ def _so_path() -> str:
 
 def _prune_stale_cache(so: str) -> None:
     """Drop cached builds keyed to other source mtimes, so package upgrades
-    don't accumulate orphaned .so files in the user cache."""
+    don't accumulate orphaned .so files in the user cache. Only entries
+    untouched for an hour are removed: a concurrent process running a
+    DIFFERENT package version may have just built its own keyed .so and be
+    about to CDLL it (the in-process lock cannot cover that window)."""
     import glob
+    import time
+    cutoff = time.time() - 3600
     for old in glob.glob(os.path.join(os.path.dirname(so), "_flacdec-*.so")):
-        if old != so:
-            try:
+        try:
+            if old != so and os.path.getmtime(old) < cutoff:
                 os.unlink(old)
-            except OSError:
-                pass  # another process may race the same cleanup
+        except OSError:
+            pass  # another process may race the same cleanup
 
 
 def _build(so: str) -> None:

@@ -278,7 +278,12 @@ def probe_phone_features(
     X = feats.reshape(N * T, d)
     y = frame_lab.reshape(N * T)
     n_classes = num_phones or int(y.max()) + 1
-    tr, _ = _split_items(N, files, split, eval_frac, seed)
+    tr, ev = _split_items(N, files, split, eval_frac, seed)
+    if len(tr) == 0 or len(ev) == 0:
+        raise ValueError(
+            f"phone probe split produced {len(tr)} train / {len(ev)} eval "
+            "snippets (too few labeled files/snippets for the requested "
+            "split)")
     tr_mask = np.zeros(N, bool); tr_mask[tr] = True
     tr_idx = np.repeat(tr_mask, T)
     acc = _train_linear(X[tr_idx], y[tr_idx], X[~tr_idx], y[~tr_idx],

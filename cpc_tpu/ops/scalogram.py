@@ -114,6 +114,12 @@ def cqt(
     once; no per-bin loops, no multi-resolution FFT plumbing."""
     kern_np, n_max, _, _ = _cqt_kernels(n_bins, fmin, fmax, sample_rate,
                                         max_kernel)
+    if x.shape[-1] <= n_max // 2:
+        raise ValueError(
+            f"cqt needs waveforms longer than half its longest analysis "
+            f"window ({n_max // 2} samples = {n_max / 2 / sample_rate:.2f} s "
+            f"at fmin={fmin}); got {x.shape[-1]} samples — raise fmin, "
+            f"lower max_kernel, or feed longer audio")
     frames = frame_signal(x, n_max, hop)  # (B, T', N_max)
     kern = jnp.asarray(kern_np)
     proj = jnp.einsum("btn,nm->btm", frames, kern,

@@ -179,6 +179,34 @@ class CPCConfig:
     train: TrainConfig = TrainConfig()
 
 
+def to_dict(cfg: CPCConfig) -> dict:
+    """JSON-ready dict of a config (tuples become lists)."""
+    return dataclasses.asdict(cfg)
+
+
+def from_dict(d: dict) -> CPCConfig:
+    """Inverse of to_dict: rebuilds the frozen dataclass tree, restoring
+    the tuple-typed fields JSON flattened to lists. Unknown keys raise —
+    a config written by a newer version should not silently lose knobs."""
+    def build(cls, sub):
+        fields = {f.name: f for f in dataclasses.fields(cls)}
+        unknown = set(sub) - set(fields)
+        if unknown:
+            raise ValueError(f"unknown {cls.__name__} keys: {sorted(unknown)}")
+        kw = {}
+        for k, v in sub.items():
+            if dataclasses.is_dataclass(fields[k].default):
+                kw[k] = build(type(fields[k].default), v)
+            elif isinstance(v, list):
+                kw[k] = tuple(tuple(e) if isinstance(e, list) else e
+                              for e in v)
+            else:
+                kw[k] = v
+        return cls(**kw)
+
+    return build(CPCConfig, d)
+
+
 class presets:
     """Named presets, one per BASELINE.json config (lines 6-12)."""
 

@@ -25,7 +25,10 @@ from cpc_tpu.train.train_step import init_state, make_step_fns
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="cpc_tpu.eval")
-    p.add_argument("--config", default="baseline")
+    p.add_argument("--config", default=None,
+                   help="preset name; default: the workdir's saved "
+                        "config.json (the exact training config), falling "
+                        "back to 'baseline'")
     p.add_argument("--workdir", required=True)
     p.add_argument("--data", default="synthetic")
     p.add_argument("--probe", default="both",
@@ -54,7 +57,15 @@ def main(argv=None) -> int:
                         "default: window)")
     args = p.parse_args(argv)
 
-    cfg = presets.by_name(args.config)
+    saved = os.path.join(args.workdir, "config.json")
+    if args.config is not None:
+        cfg = presets.by_name(args.config)
+    elif os.path.exists(saved):
+        from cpc_tpu.config import from_dict
+        with open(saved) as f:
+            cfg = from_dict(json.load(f))
+    else:
+        cfg = presets.by_name("baseline")
     model = CPCModel(cfg.model)
     steps = make_step_fns(cfg, model, mesh=None)
     params, opt_state = init_state(cfg, model, steps.optimizer)

@@ -63,6 +63,16 @@ class Trainer:
         self.ckpt = (CheckpointManager(f"{workdir}/{cfg.train.checkpoint_dir}",
                                        cfg.train.keep_checkpoints)
                      if workdir else None)
+        if workdir:
+            # persist the RESOLVED config (after CLI overrides) so the run
+            # is reproducible and eval can probe with the exact training
+            # config instead of trusting the caller to re-pass flags
+            import json
+            import os
+            from cpc_tpu.config import to_dict
+            os.makedirs(workdir, exist_ok=True)
+            with open(os.path.join(workdir, "config.json"), "w") as f:
+                json.dump(to_dict(cfg), f, indent=1)
         self.step = 0
         self.preempted = False
         self._sharding = (batch_sharding(self.mesh)

@@ -26,3 +26,41 @@ def test_train_cli_overrides(tmp_path):
         "--resume",
     ])
     assert rc == 0
+
+
+def test_config_roundtrip_and_eval_autoload(tmp_path):
+    """The Trainer persists the RESOLVED config; from_dict restores the
+    exact frozen tree (tuples included); eval with no --config uses it."""
+    import dataclasses
+    from cpc_tpu.config import from_dict, presets, to_dict
+
+    cfg = presets.tpu_fast()
+    cfg2 = from_dict(json.loads(json.dumps(to_dict(cfg))))
+    assert cfg2 == cfg
+    assert isinstance(cfg2.model.encoder.kernels, tuple)
+    try:
+        from_dict({"bogus_key": 1})
+    except ValueError as e:
+        assert "bogus_key" in str(e)
+    else:
+        raise AssertionError("unknown keys must raise")
+
+    wd = str(tmp_path / "run")
+    train_main([
+        "--config=baseline", "--data=synthetic", f"--workdir={wd}",
+        "--steps=1", "--batch-size=8", "--snippet-samples=4000",
+    ])
+    saved = from_dict(json.load(open(os.path.join(wd, "config.json"))))
+    # the SAVED config carries the CLI overrides, not the preset defaults
+    assert saved.data.snippet_samples == 4000
+    assert saved.data.batch_size == 8
+
+    from cpc_tpu.eval.cli import main as eval_main
+    import io, contextlib
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        rc = eval_main([f"--workdir={wd}", "--probe=speaker",
+                        "--max-snippets=24", "--steps=20"])
+    assert rc == 0
+    res = json.loads(out.getvalue().strip().splitlines()[-1])
+    assert "speaker_probe" in res

@@ -55,6 +55,21 @@ def main(argv=None) -> int:
                    help="--extract sliding-window hop in samples (< window "
                         "gives overlapped windows with warm gar context; "
                         "default: window)")
+    p.add_argument("--export-model", default=None, metavar="PATH",
+                   help="instead of probing: bake the checkpoint into a "
+                        "portable StableHLO serving artifact at PATH "
+                        "(+ PATH.json sidecar) — see cpc_tpu/export.py")
+    p.add_argument("--export-batch", type=int, default=None,
+                   help="pin the artifact's batch dim (default: symbolic, "
+                        "one artifact serves any batch size)")
+    p.add_argument("--export-streaming", type=int, default=None,
+                   metavar="N_LATENTS",
+                   help="export the real-time streaming STEP (N_LATENTS "
+                        "latents per fixed-shape call, GRU gar only) "
+                        "instead of the windowed extractor")
+    p.add_argument("--export-streams", type=int, default=1,
+                   help="independent lockstep streams in the streaming "
+                        "artifact (batched serving; default 1)")
     args = p.parse_args(argv)
 
     saved = os.path.join(args.workdir, "config.json")
@@ -78,6 +93,30 @@ def main(argv=None) -> int:
         step = 0
     else:
         params, _, step, _ = restored
+
+    if args.export_model:
+        from cpc_tpu.config import to_dict
+        from cpc_tpu.export import (export_extractor, export_streaming_step,
+                                    save_artifact)
+        if args.export_streaming is not None:
+            exp = export_streaming_step(model, params,
+                                        chunk_latents=args.export_streaming,
+                                        n_streams=args.export_streams)
+        else:
+            exp = export_extractor(model, params,
+                                   snippet_samples=cfg.data.snippet_samples,
+                                   batch=args.export_batch,
+                                   normalize=cfg.data.normalize)
+        sidecar = save_artifact(args.export_model, exp,
+                                meta={"checkpoint_step": step,
+                                      "config": to_dict(cfg)})
+        print(json.dumps({"checkpoint_step": step,
+                          "export": args.export_model,
+                          "platforms": sidecar["platforms"],
+                          "in_avals": sidecar["in_avals"],
+                          "out_avals": sidecar["out_avals"],
+                          "bytes": sidecar["bytes"]}))
+        return 0
 
     if args.extract:
         import numpy as np

@@ -1,0 +1,175 @@
+"""Serving export: freeze (model, checkpoint params) into a portable
+StableHLO artifact via jax.export.
+
+The reference has no serving story beyond "load the torch checkpoint in
+Python" (SURVEY.md §4.5 — the Immersions consumer imports the training
+repo). For production serving we instead bake the trained parameters into
+a serialized, versioned StableHLO computation: a serving host needs jax
+and the artifact bytes — not cpc_tpu, not flax, not the checkpoint tree —
+and the computation is frozen against future library changes. Artifacts
+are lowered for BOTH cpu and tpu by default, so the same file serves a
+TPU fleet and a CPU canary.
+
+Two artifact shapes, matching the two consumer APIs:
+
+  * `export_extractor` — the offline/windowed extractor: f(x (B, S)) ->
+    (z, c). The batch dimension is exported SYMBOLICALLY by default (one
+    artifact serves any batch size); training-matched `prepare_waveform`
+    (dequant + per-snippet normalization) is folded inside, so callers
+    send raw fixed-length waveform windows.
+  * `export_streaming_step` — the real-time path: the fixed-shape step of
+    cpc_tpu.eval.streaming.StreamingExtractor, f(h, window) ->
+    (z, c, h'). The host keeps the O(receptive_field) residual-sample
+    buffer (pure numpy, no jax) and threads `h`; every step is one fixed
+    compiled shape. GRU gar only — the transformer's KV cache is a
+    per-position mutable buffer, not a constant-size carry.
+
+Pallas kernels are routed OFF in exported computations: Mosaic lowering
+is TPU-only and pins the artifact to one backend generation, while the
+XLA path lowers portably everywhere (measured on-chip: the XLA inference
+forward is within noise of the Pallas one at serving batch sizes — the
+kernels earn their keep in the fused training step, not here).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+from cpc_tpu.models.cpc import CPCModel
+from cpc_tpu.eval.streaming import receptive_field
+from cpc_tpu.ops.dsp import prepare_waveform
+
+FORMAT_VERSION = 1
+
+
+def _portable_model(model: CPCModel, **overrides) -> CPCModel:
+    cfg = model.config
+    enc = dataclasses.replace(cfg.encoder, use_pallas=False,
+                              **overrides.pop("encoder", {}))
+    ar = dataclasses.replace(cfg.ar, use_pallas=False)
+    return CPCModel(dataclasses.replace(cfg, encoder=enc, ar=ar,
+                                        **overrides))
+
+
+def export_extractor(
+    model: CPCModel,
+    params,
+    *,
+    snippet_samples: int,
+    batch: Optional[int] = None,
+    normalize: bool = True,
+    platforms: Sequence[str] = ("cpu", "tpu"),
+) -> jax_export.Exported:
+    """Exported f(x (B, snippet_samples) f32) -> (z (B, T, d_enc),
+    c (B, T, d_ar)) with the checkpoint parameters baked in.
+
+    batch=None (default) exports a symbolic batch dimension: one artifact
+    answers any batch size. Pass an int to pin it (slightly tighter XLA
+    scheduling for a known serving shape).
+    """
+    m = _portable_model(model)
+
+    def fn(x):
+        x = prepare_waveform(x, normalize=normalize)
+        return m.apply(params, x, method=CPCModel.latents)
+
+    if batch is None:
+        (bdim,) = jax_export.symbolic_shape("b")
+    else:
+        if batch < 1:
+            raise ValueError(f"batch must be >= 1 or None, got {batch}")
+        bdim = int(batch)
+    spec = jax.ShapeDtypeStruct((bdim, int(snippet_samples)), jnp.float32)
+    return jax_export.export(jax.jit(fn), platforms=tuple(platforms))(spec)
+
+
+def export_streaming_step(
+    model: CPCModel,
+    params,
+    *,
+    chunk_latents: int,
+    n_streams: int = 1,
+    stats: Optional[Tuple[float, float]] = None,
+    platforms: Sequence[str] = ("cpu", "tpu"),
+) -> jax_export.Exported:
+    """Exported streaming step: f(h (num_layers, n_streams, d_ar),
+    window (n_streams, W)) -> (z (n_streams, n, d_enc),
+    c (n_streams, n, d_ar), h') with n = chunk_latents and
+    W = receptive_field + (chunk_latents - 1) * downsample.
+
+    Contract identical to StreamingExtractor (VALID padding, fp32 compute,
+    exact GRU state carry — see cpc_tpu/eval/streaming.py for why those
+    are forced): the serving host slices fixed W-sample windows that
+    overlap by receptive_field - downsample samples (stride = chunk_latents
+    * downsample) and threads h, starting from zeros. Concatenated outputs
+    equal the offline VALID forward elementwise (tested).
+    """
+    cfg = model.config
+    if chunk_latents < 1:
+        raise ValueError(f"chunk_latents must be >= 1, got {chunk_latents}")
+    if cfg.ar.kind != "gru":
+        raise ValueError(
+            "the streaming-step artifact requires the GRU gar (the "
+            "transformer's KV cache is not a constant-size carry); export "
+            "the windowed extractor instead")
+    if cfg.encoder.kind != "conv1d":
+        raise ValueError(
+            "streaming export supports the conv1d encoder only (the "
+            "scalogram front-end is frame-based — export the windowed "
+            "extractor)")
+    if cfg.encoder.norm in ("batch", "group"):
+        raise ValueError(
+            f"encoder norm {cfg.encoder.norm!r} computes statistics over "
+            "the time axis and cannot stream (see StreamingExtractor)")
+    m = _portable_model(
+        model, encoder={"padding": "VALID"}, dtype="float32")
+    rf, down = receptive_field(cfg.encoder.kernels, cfg.encoder.strides)
+    window = rf + (chunk_latents - 1) * down
+    fixed = None if stats is None else (float(stats[0]), float(stats[1]))
+
+    def fn(h, win):
+        x = win if fixed is None else (win - fixed[0]) / fixed[1]
+        z = m.apply(params, x, method=CPCModel.encode)
+        c, h2 = m.apply(params, z, h, method=CPCModel.context_with_state)
+        return z, c, h2
+
+    specs = (
+        jax.ShapeDtypeStruct((cfg.ar.num_layers, n_streams, cfg.ar.d_ar),
+                             jnp.float32),
+        jax.ShapeDtypeStruct((n_streams, window), jnp.float32),
+    )
+    return jax_export.export(jax.jit(fn), platforms=tuple(platforms))(*specs)
+
+
+def save_artifact(path: str, exported: jax_export.Exported,
+                  meta: Optional[dict] = None) -> dict:
+    """Write the serialized artifact to `path` and a human-readable
+    sidecar to `path`.json (shapes, platforms, plus caller metadata such
+    as the training config and checkpoint step). Returns the sidecar."""
+    blob = exported.serialize()
+    with open(path, "wb") as f:
+        f.write(blob)
+    sidecar = {
+        "format_version": FORMAT_VERSION,
+        "fn_name": exported.fun_name,
+        "platforms": list(exported.platforms),
+        "in_avals": [str(a) for a in exported.in_avals],
+        "out_avals": [str(a) for a in exported.out_avals],
+        "bytes": len(blob),
+        **(meta or {}),
+    }
+    with open(path + ".json", "w") as f:
+        json.dump(sidecar, f, indent=1)
+    return sidecar
+
+
+def load_artifact(path: str) -> jax_export.Exported:
+    """Deserialize an artifact; run it with `.call(*args)`."""
+    with open(path, "rb") as f:
+        return jax_export.deserialize(f.read())

@@ -1,0 +1,144 @@
+"""Serving export (cpc_tpu/export.py): the serialized StableHLO artifact
+must reproduce the library forward exactly after a save/load roundtrip,
+for both the windowed extractor and the streaming step."""
+
+import dataclasses
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cpc_tpu.config import ArConfig, EncoderConfig, ModelConfig
+from cpc_tpu.export import (export_extractor, export_streaming_step,
+                            load_artifact, save_artifact)
+from cpc_tpu.eval.streaming import receptive_field
+from cpc_tpu.models.cpc import CPCModel
+from cpc_tpu.ops.dsp import prepare_waveform
+
+
+def _model(ar_kind="gru", **enc_kw):
+    cfg = ModelConfig(
+        encoder=EncoderConfig(kind="conv1d", channels=(24, 24, 24),
+                              kernels=(10, 8, 4), strides=(5, 4, 2),
+                              d_enc=24, **enc_kw),
+        ar=ArConfig(kind=ar_kind, d_ar=16),
+    )
+    model = CPCModel(cfg)
+    params = model.init(jax.random.key(0), np.zeros((1, 2000), np.float32))
+    return model, params, cfg
+
+
+def test_extractor_artifact_roundtrip(tmp_path):
+    model, params, cfg = _model()
+    exp = export_extractor(model, params, snippet_samples=2000)
+    path = str(tmp_path / "extractor.shlo")
+    sidecar = save_artifact(path, exp, meta={"note": "test"})
+    assert sidecar["bytes"] == os.path.getsize(path)
+    assert set(sidecar["platforms"]) == {"cpu", "tpu"}
+    assert json.load(open(path + ".json"))["note"] == "test"
+
+    art = load_artifact(path)
+    # symbolic batch: ONE artifact answers different batch sizes
+    for B in (2, 5):
+        x = np.random.default_rng(B).standard_normal((B, 2000)) \
+            .astype(np.float32)
+        z_a, c_a = art.call(jnp.asarray(x))
+        z_d, c_d = model.apply(params, prepare_waveform(jnp.asarray(x)),
+                               method=CPCModel.latents)
+        np.testing.assert_allclose(np.asarray(z_a), np.asarray(z_d),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(c_a), np.asarray(c_d),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_extractor_fixed_batch_pins_shape(tmp_path):
+    model, params, _ = _model(ar_kind="transformer")
+    exp = export_extractor(model, params, snippet_samples=2000, batch=3)
+    path = str(tmp_path / "t.shlo")
+    save_artifact(path, exp)
+    art = load_artifact(path)
+    x3 = jnp.zeros((3, 2000), jnp.float32)
+    z, c = art.call(x3)
+    assert z.shape[0] == 3 and c.shape[0] == 3
+    with pytest.raises(ValueError):
+        art.call(jnp.zeros((4, 2000), jnp.float32))
+    with pytest.raises(ValueError):
+        export_extractor(model, params, snippet_samples=2000, batch=0)
+
+
+def test_streaming_step_artifact_equals_offline(tmp_path):
+    """Driving the exported fixed-shape step host-side — windows of
+    W = rf + (n-1)*down samples at stride n*down, threading h from zeros —
+    must reproduce the offline VALID forward, the same contract
+    StreamingExtractor tests pin."""
+    model, params, cfg = _model()
+    n = 4  # latents per step
+    exp = export_streaming_step(model, params, chunk_latents=n)
+    path = str(tmp_path / "step.shlo")
+    save_artifact(path, exp)
+    art = load_artifact(path)
+
+    rf, down = receptive_field(cfg.encoder.kernels, cfg.encoder.strides)
+    W = rf + (n - 1) * down
+    wave = np.random.default_rng(3).standard_normal(W + 3 * n * down) \
+        .astype(np.float32) * 0.3
+    h = np.zeros((cfg.ar.num_layers, 1, cfg.ar.d_ar), np.float32)
+    zs, cs = [], []
+    for j in range(4):
+        win = wave[None, j * n * down: j * n * down + W]
+        z, c, h = art.call(jnp.asarray(h), jnp.asarray(win))
+        assert z.shape == (1, n, cfg.encoder.d_enc)
+        zs.append(np.asarray(z[0]))
+        cs.append(np.asarray(c[0]))
+
+    # offline VALID fp32 reference over the consumed samples
+    enc = dataclasses.replace(cfg.encoder, padding="VALID")
+    vmodel = CPCModel(dataclasses.replace(cfg, encoder=enc,
+                                          dtype="float32"))
+    consumed = wave[: W + 3 * n * down]
+    z_off = vmodel.apply(params, consumed[None], method=CPCModel.encode)
+    c_off = vmodel.apply(params, z_off, method=lambda m, z: m.gar(z))
+    np.testing.assert_allclose(np.concatenate(zs), np.asarray(z_off[0]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.concatenate(cs), np.asarray(c_off[0]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_streaming_step_rejects_unsupported():
+    model, params, _ = _model(ar_kind="transformer")
+    with pytest.raises(ValueError, match="GRU"):
+        export_streaming_step(model, params, chunk_latents=2)
+    model, params, _ = _model(norm="group")
+    with pytest.raises(ValueError, match="time axis"):
+        export_streaming_step(model, params, chunk_latents=2)
+    model, params, _ = _model()
+    with pytest.raises(ValueError, match="chunk_latents"):
+        export_streaming_step(model, params, chunk_latents=0)
+
+
+def test_export_cli(tmp_path):
+    """Train a step, export via the CLI, load the artifact and run it."""
+    from cpc_tpu.eval.cli import main as eval_main
+    from cpc_tpu.train.cli import main as train_main
+    import contextlib
+    import io
+
+    wd = str(tmp_path / "run")
+    train_main(["--config=baseline", "--data=synthetic", f"--workdir={wd}",
+                "--steps=1", "--batch-size=8", "--snippet-samples=4000"])
+    path = str(tmp_path / "model.shlo")
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        rc = eval_main([f"--workdir={wd}", f"--export-model={path}"])
+    assert rc == 0
+    info = json.loads(out.getvalue().strip().splitlines()[-1])
+    assert info["export"] == path
+    # the autoloaded training config sets the window: 4000 samples
+    art = load_artifact(path)
+    z, c = art.call(jnp.zeros((2, 4000), jnp.float32))
+    assert z.shape[0] == 2 and c.shape[0] == 2
+    assert json.load(open(path + ".json"))["config"]["data"][
+        "snippet_samples"] == 4000

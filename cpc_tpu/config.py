@@ -158,8 +158,16 @@ class TrainConfig:
     beta1: float = 0.9
     beta2: float = 0.999
     weight_decay: float = 0.0
+    grad_clip_norm: float = 0.0  # clip grads to this global norm (0 = off)
+    lr_schedule: str = "constant"  # 'constant' | 'cosine' (decay to 0 over
+    # num_steps; both compose with warmup_steps)
     num_steps: int = 10_000
     warmup_steps: int = 0
+    accum_steps: int = 1  # microbatches per optimizer step: the batch is
+    # split in accum_steps, grads averaged, ONE Adam update. Each microbatch
+    # is its own InfoNCE negative pool (same semantics as DP without
+    # cross-replica gathering) — this buys optimizer-step stability and
+    # memory, not a bigger pool.
     seed: int = 0
     log_every: int = 50
     eval_every: int = 500

@@ -20,9 +20,14 @@ def build_argparser() -> argparse.ArgumentParser:
         prog="cpc_tpu.train",
         description="TPU-native CPC audio pretraining",
     )
-    p.add_argument("--config", default="baseline",
+    p.add_argument("--config", default=None,
                    help="preset name (baseline, maestro_scalogram, "
-                        "transformer_gar, dp_global_negatives, tpu_fast)")
+                        "transformer_gar, dp_global_negatives, tpu_fast). "
+                        "Default: baseline — except with --resume, where "
+                        "the workdir's persisted config.json (the exact "
+                        "config of the interrupted run) is used, so a bare "
+                        "'--workdir X --resume' continues faithfully; "
+                        "explicit flags still override")
     p.add_argument("--data", default="synthetic",
                    help="'synthetic', 'synthetic-music', or a corpus directory")
     p.add_argument("--val-data", default=None,
@@ -42,6 +47,17 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--augment", action="store_true",
                    help="on-device waveform augmentation (gain/noise/shift/"
                         "polarity) inside the jitted step")
+    p.add_argument("--lr-schedule", default=None,
+                   choices=["constant", "cosine"],
+                   help="override train.lr_schedule (cosine decays to 0 "
+                        "over num_steps; composes with warmup)")
+    p.add_argument("--grad-clip", type=float, default=None,
+                   help="override train.grad_clip_norm (clip grads to this "
+                        "global norm before Adam; 0 disables)")
+    p.add_argument("--accum-steps", type=int, default=None,
+                   help="override train.accum_steps (microbatches per "
+                        "optimizer step; each microbatch is its own "
+                        "negative pool)")
     p.add_argument("--resume", action="store_true",
                    help="resume from latest checkpoint in workdir")
     p.add_argument("--seed", type=int, default=None)
@@ -55,7 +71,16 @@ def build_argparser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
-    cfg = presets.by_name(args.config)
+    saved = os.path.join(args.workdir, "config.json")
+    if args.config is not None:
+        cfg = presets.by_name(args.config)
+    elif args.resume and os.path.exists(saved):
+        import json
+        from cpc_tpu.config import from_dict
+        with open(saved) as f:
+            cfg = from_dict(json.load(f))
+    else:
+        cfg = presets.by_name("baseline")
     if args.steps is not None:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, num_steps=args.steps))
@@ -72,6 +97,12 @@ def main(argv=None) -> int:
     if args.augment:
         cfg = dataclasses.replace(
             cfg, data=dataclasses.replace(cfg.data, augment=True))
+    for flag, field in ((args.lr_schedule, "lr_schedule"),
+                        (args.grad_clip, "grad_clip_norm"),
+                        (args.accum_steps, "accum_steps")):
+        if flag is not None:
+            cfg = dataclasses.replace(
+                cfg, train=dataclasses.replace(cfg.train, **{field: flag}))
 
     if args.data in ("synthetic", "synthetic-music"):
         corpus = os.path.join(args.workdir, "synthetic_corpus")

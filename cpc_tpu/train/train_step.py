@@ -41,14 +41,30 @@ def needs_rng(cfg: CPCConfig) -> bool:
 
 def make_optimizer(cfg: CPCConfig) -> optax.GradientTransformation:
     t = cfg.train
-    if t.warmup_steps > 0:
-        lr = optax.linear_schedule(0.0, t.learning_rate, t.warmup_steps)
+    if t.lr_schedule == "cosine":
+        # warmup (possibly 0 steps) then cosine decay to 0 at num_steps
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0 if t.warmup_steps > 0 else t.learning_rate,
+            peak_value=t.learning_rate,
+            warmup_steps=t.warmup_steps,
+            decay_steps=max(t.num_steps, t.warmup_steps + 1))
+    elif t.lr_schedule == "constant":
+        if t.warmup_steps > 0:
+            lr = optax.linear_schedule(0.0, t.learning_rate, t.warmup_steps)
+        else:
+            lr = t.learning_rate
     else:
-        lr = t.learning_rate
+        raise ValueError(
+            f"unknown lr_schedule {t.lr_schedule!r} "
+            "(expected 'constant' | 'cosine')")
     if t.weight_decay > 0:
-        return optax.adamw(lr, b1=t.beta1, b2=t.beta2,
+        base = optax.adamw(lr, b1=t.beta1, b2=t.beta2,
                            weight_decay=t.weight_decay)
-    return optax.adam(lr, b1=t.beta1, b2=t.beta2)
+    else:
+        base = optax.adam(lr, b1=t.beta1, b2=t.beta2)
+    if t.grad_clip_norm > 0:
+        return optax.chain(optax.clip_by_global_norm(t.grad_clip_norm), base)
+    return base
 
 
 def resolve_fuse_heads(cfg: CPCConfig, mesh=None) -> bool:
@@ -138,9 +154,42 @@ def make_step_fns(cfg: CPCConfig, model: CPCModel, mesh=None) -> StepFns:
         )
         return loss, metrics
 
+    accum = cfg.train.accum_steps
+    if accum < 1:
+        raise ValueError(f"accum_steps must be >= 1, got {accum}")
+
+    def _grads(params, batch, rng, axis_name):
+        """(grads, metrics). With accum_steps > 1 the (local) batch splits
+        into accum microbatches scanned inside the SAME jit — each one a
+        full fwd+bwd whose activations die before the next — and the
+        averaged grads feed one optimizer update. Each microbatch is its
+        own negative pool (see TrainConfig.accum_steps)."""
+        if accum == 1:
+            (_, metrics), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch, axis_name, rng)
+            return g, metrics
+        B = batch.shape[0]
+        if B % accum:
+            raise ValueError(
+                f"(local) batch {B} is not divisible by accum_steps {accum}")
+        mbs = batch.reshape(accum, B // accum, *batch.shape[1:])
+        keys = None if rng is None else jax.random.split(rng, accum)
+
+        def body(gsum, inp):
+            mb, r = inp if keys is not None else (inp, None)
+            (_, metrics), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, mb, axis_name, r)
+            return jax.tree.map(jnp.add, gsum, g), metrics
+
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        gsum, stacked = jax.lax.scan(
+            body, zeros, mbs if keys is None else (mbs, keys))
+        grads = jax.tree.map(lambda g: g / accum, gsum)
+        metrics = jax.tree.map(lambda m: m.mean(axis=0), stacked)
+        return grads, metrics
+
     def train_step(params, opt_state, batch, rng=None, axis_name=None):
-        (loss, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, batch, axis_name, rng)
+        grads, metrics = _grads(params, batch, rng, axis_name)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             metrics = jax.lax.pmean(metrics, axis_name)

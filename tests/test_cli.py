@@ -10,21 +10,24 @@ def test_train_cli_overrides(tmp_path):
     wd = str(tmp_path / "run")
     rc = train_main([
         "--config=baseline", "--data=synthetic", f"--workdir={wd}",
-        "--steps=2", "--batch-size=8", "--snippet-samples=4000",
-        "--seed=3",
+        "--steps=2", "--batch-size=16", "--snippet-samples=4000",
+        "--seed=3", "--lr-schedule=cosine", "--grad-clip=1.0",
+        "--accum-steps=2",  # local batch 2 on the 8-device mesh -> 2 micro
     ])
     assert rc == 0
     lines = [json.loads(l) for l in
              open(os.path.join(wd, "metrics.jsonl"))]
     assert lines[-1]["step"] == 2
+    # the persisted config carries the optimizer overrides
+    saved = json.load(open(os.path.join(wd, "config.json")))["train"]
+    assert (saved["lr_schedule"], saved["grad_clip_norm"],
+            saved["accum_steps"]) == ("cosine", 1.0, 2)
     # 4000-sample snippets at 160x -> 25 latents; metrics carry per-k acc
     assert len(lines[-1]["acc"]) == 12
-    # checkpoint written at the final step; resume restores it
-    rc = train_main([
-        "--config=baseline", "--data=synthetic", f"--workdir={wd}",
-        "--steps=2", "--batch-size=8", "--snippet-samples=4000",
-        "--resume",
-    ])
+    # checkpoint written at the final step; a bare --resume restores it
+    # AND the persisted config (batch/snippet/optimizer chain — a plain
+    # preset would even mismatch the checkpointed chain(clip, adam) state)
+    rc = train_main(["--data=synthetic", f"--workdir={wd}", "--resume"])
     assert rc == 0
 
 

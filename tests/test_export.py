@@ -107,6 +107,32 @@ def test_streaming_step_artifact_equals_offline(tmp_path):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_scalogram_variant_exports():
+    """The scalogram front-end computes an rFFT inside jit, which lowers
+    to PLATFORM-SPECIFIC custom calls — the multi-platform (cpu+tpu)
+    export must still serialize and run."""
+    cfg = ModelConfig(
+        encoder=EncoderConfig(
+            kind="scalogram", d_enc=32,
+            scalogram_n_fft=256, scalogram_hop=160, scalogram_n_bins=32,
+            scalogram_channels=(16, 32), scalogram_kernels=((3, 3), (3, 3)),
+            scalogram_freq_strides=(2, 2), scalogram_time_strides=(1, 1)),
+        ar=ArConfig(d_ar=16))
+    model = CPCModel(cfg)
+    params = model.init(jax.random.key(0), np.zeros((1, 3200), np.float32))
+    exp = export_extractor(model, params, snippet_samples=3200)
+    art = jax.export.deserialize(exp.serialize())
+    x = np.random.default_rng(2).standard_normal((2, 3200)) \
+        .astype(np.float32)
+    z_a, c_a = art.call(jnp.asarray(x))
+    z_d, c_d = model.apply(params, prepare_waveform(jnp.asarray(x)),
+                           method=CPCModel.latents)
+    np.testing.assert_allclose(np.asarray(z_a), np.asarray(z_d),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c_a), np.asarray(c_d),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_streaming_step_rejects_unsupported():
     model, params, _ = _model(ar_kind="transformer")
     with pytest.raises(ValueError, match="GRU"):

@@ -70,6 +70,11 @@ def main(argv=None) -> int:
     p.add_argument("--export-streams", type=int, default=1,
                    help="independent lockstep streams in the streaming "
                         "artifact (batched serving; default 1)")
+    p.add_argument("--export-dtype", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="bake the weights in this dtype (bfloat16 halves "
+                        "the artifact; ~1e-2 relative feature error). "
+                        "Windowed extractor only")
     args = p.parse_args(argv)
 
     saved = os.path.join(args.workdir, "config.json")
@@ -106,7 +111,8 @@ def main(argv=None) -> int:
             exp = export_extractor(model, params,
                                    snippet_samples=cfg.data.snippet_samples,
                                    batch=args.export_batch,
-                                   normalize=cfg.data.normalize)
+                                   normalize=cfg.data.normalize,
+                                   params_dtype=args.export_dtype)
         sidecar = save_artifact(args.export_model, exp,
                                 meta={"checkpoint_step": step,
                                       "config": to_dict(cfg)})

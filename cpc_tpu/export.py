@@ -57,6 +57,15 @@ def _portable_model(model: CPCModel, **overrides) -> CPCModel:
                                         **overrides))
 
 
+def _cast_params(params, dtype_name: Optional[str]):
+    if dtype_name is None:
+        return params
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype_name]
+    return jax.tree.map(
+        lambda p: p.astype(dtype) if jnp.issubdtype(p.dtype, jnp.floating)
+        else p, params)
+
+
 def export_extractor(
     model: CPCModel,
     params,
@@ -64,6 +73,7 @@ def export_extractor(
     snippet_samples: int,
     batch: Optional[int] = None,
     normalize: bool = True,
+    params_dtype: Optional[str] = None,
     platforms: Sequence[str] = ("cpu", "tpu"),
 ) -> jax_export.Exported:
     """Exported f(x (B, snippet_samples) f32) -> (z (B, T, d_enc),
@@ -72,8 +82,13 @@ def export_extractor(
     batch=None (default) exports a symbolic batch dimension: one artifact
     answers any batch size. Pass an int to pin it (slightly tighter XLA
     scheduling for a known serving shape).
+
+    params_dtype='bfloat16' bakes the weights in bf16 — the artifact
+    halves in size (the baked parameters dominate it) at ~1e-2 relative
+    feature error; compute stays in the model's configured dtype.
     """
     m = _portable_model(model)
+    params = _cast_params(params, params_dtype)
 
     def fn(x):
         x = prepare_waveform(x, normalize=normalize)

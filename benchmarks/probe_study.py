@@ -58,6 +58,12 @@ def main() -> None:
                         "2.56 s: ~18 phone transitions per snippet instead "
                         "of ~9, doubling the evidence available to the "
                         "context representation)")
+    p.add_argument("--device-corpus", action="store_true",
+                   help="HBM-resident corpus + on-device batch gather: no "
+                        "per-step host transfers (the axon tunnel retains "
+                        "every staged transfer payload — a 24k-step batch-64 "
+                        "run otherwise leaks >100 GB of host RSS and gets "
+                        "OOM-killed; docs/DESIGN.md)")
     p.add_argument("--probe-seeds", type=int, default=3,
                    help="probe train/eval-split seeds per milestone; "
                         "speaker_acc is reported mean +/- std across them")
@@ -80,6 +86,7 @@ def main() -> None:
         cfg,
         data=dataclasses.replace(
             cfg.data, augment=args.augment,
+            device_corpus=args.device_corpus,
             snippet_samples=(args.snippet_samples
                              or cfg.data.snippet_samples)),
         train=dataclasses.replace(cfg.train, num_steps=milestones[-1],

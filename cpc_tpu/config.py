@@ -150,6 +150,14 @@ class DataConfig:
     prefetch: int = 2
     num_workers: int = 0  # host decode threads (0 = synchronous)
     transfer_dtype: str = "int16"  # host->device wire dtype; dequant on device
+    # Upload the WHOLE int16 snippet corpus to device HBM once and feed
+    # each step a (B,) index vector; the batch gather runs on device inside
+    # the jitted step. Removes per-step host->device batch transfers —
+    # necessary on hosts whose transfer stack retains every staged buffer
+    # (the axon tunnel leaks its full payload per transfer, measured in
+    # docs/DESIGN.md) and generally the fastest small-corpus path.
+    # Single-device only; corpus must fit the HBM budget (guarded).
+    device_corpus: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

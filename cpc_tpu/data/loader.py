@@ -49,6 +49,7 @@ class Batcher:
         num_workers: int = 0,
         start_epoch: int = 0,
         start_pos: int = 0,
+        yield_indices: bool = False,
     ):
         if len(dataset) < batch_size:
             raise ValueError(
@@ -62,6 +63,11 @@ class Batcher:
         self.transfer_dtype = transfer_dtype
         self.epoch = start_epoch
         self.pos = start_pos  # batch index within the current epoch
+        # device-corpus mode: yield the (B,) int32 snippet indices instead
+        # of assembled waveforms — same order, same (seed, epoch, pos)
+        # resume state, zero host decode (the gather runs on device against
+        # a resident corpus; see Trainer/DataConfig.device_corpus)
+        self.yield_indices = yield_indices
         self._pool = None
         if num_workers > 0:
             import concurrent.futures
@@ -90,6 +96,8 @@ class Batcher:
 
     def _assemble(self, order: np.ndarray, b: int) -> np.ndarray:
         idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+        if self.yield_indices:
+            return idxs.astype(np.int32)
         if self.transfer_dtype == "int16":
             # int16 snippets come from a per-file quantized cache, so batch
             # assembly is a pure int16 gather (~6x cheaper than quantizing
@@ -155,6 +163,28 @@ class Batcher:
                     q.get_nowait()
                 except Exception:
                     break
+
+
+def load_device_corpus(dataset: SnippetDataset,
+                       budget_bytes: int = 4 << 30) -> jnp.ndarray:
+    """Every snippet of `dataset` as ONE device-resident int16 array
+    (N, S) — uploaded in a single transfer, then indexed on device by the
+    device_corpus train step (DataConfig.device_corpus). Raises if the
+    corpus exceeds `budget_bytes` (HBM is shared with params, grads,
+    optimizer state, and activations)."""
+    n = len(dataset)
+    s = len(dataset.snippet_int16(0))
+    total = n * s * 2
+    if total > budget_bytes:
+        raise ValueError(
+            f"device_corpus: corpus is {total / 2**30:.2f} GiB "
+            f"({n} snippets x {s} samples) > the {budget_bytes / 2**30:.0f} "
+            "GiB HBM budget; use the host streaming path (or a packed "
+            "memmap corpus) instead")
+    host = np.empty((n, s), np.int16)
+    for i in range(n):
+        host[i] = dataset.snippet_int16(i)
+    return jnp.asarray(host)
 
 
 def to_device(batch: np.ndarray, sharding=None) -> jnp.ndarray:

@@ -47,6 +47,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--augment", action="store_true",
                    help="on-device waveform augmentation (gain/noise/shift/"
                         "polarity) inside the jitted step")
+    p.add_argument("--device-corpus", action="store_true",
+                   help="upload the whole int16 corpus to HBM once and "
+                        "feed steps (B,) index vectors (on-device gather): "
+                        "no per-step batch transfers. Single-device, "
+                        "corpus must fit HBM")
     p.add_argument("--lr-schedule", default=None,
                    choices=["constant", "cosine"],
                    help="override train.lr_schedule (cosine decays to 0 "
@@ -97,6 +102,9 @@ def main(argv=None) -> int:
     if args.augment:
         cfg = dataclasses.replace(
             cfg, data=dataclasses.replace(cfg.data, augment=True))
+    if args.device_corpus:
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, device_corpus=True))
     for flag, field in ((args.lr_schedule, "lr_schedule"),
                         (args.grad_clip, "grad_clip_norm"),
                         (args.accum_steps, "accum_steps")):

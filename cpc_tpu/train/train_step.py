@@ -206,6 +206,33 @@ def make_step_fns(cfg: CPCConfig, model: CPCModel, mesh=None) -> StepFns:
         return metrics
 
     want_rng = needs_rng(cfg)
+    if cfg.data.device_corpus:
+        # Device-resident corpus: steps take (corpus (N, S) int16 resident
+        # in HBM, idx (B,) int32) and gather the batch ON DEVICE. The only
+        # per-step host->device transfer is the tiny index vector — the
+        # mitigation for transfer stacks that retain every staged payload
+        # (measured: the axon tunnel leaks its full payload per transfer;
+        # docs/DESIGN.md "host transfer leak").
+        if mesh is not None and mesh.size > 1:
+            raise ValueError(
+                "data.device_corpus supports single-device training only "
+                "(multi-host pods feed per-host shards through the host "
+                "path); drop the flag or pass a 1-device mesh")
+
+        def train_idx(params, opt_state, corpus, idx, rng=None):
+            return train_step(params, opt_state, corpus[idx], rng=rng,
+                              axis_name=None)
+
+        def eval_idx(params, corpus, idx):
+            return eval_step(params, corpus[idx], axis_name=None)
+
+        if want_rng:
+            train = jax.jit(train_idx, donate_argnums=(0, 1))
+        else:
+            train = jax.jit(functools.partial(train_idx, rng=None),
+                            donate_argnums=(0, 1))
+        return StepFns(train_step=train, eval_step=jax.jit(eval_idx),
+                       optimizer=opt, loss_fn=loss_fn)
     if mesh is not None and mesh.size > 1:
         train = dp_train_step(train_step, mesh, axis=mesh.axis_names[0],
                               with_rng=want_rng)

@@ -19,7 +19,7 @@ import numpy as np
 
 from cpc_tpu.config import CPCConfig
 from cpc_tpu.data.dataset import SnippetDataset
-from cpc_tpu.data.loader import Batcher, to_device
+from cpc_tpu.data.loader import Batcher, load_device_corpus, to_device
 from cpc_tpu.models.cpc import CPCModel
 from cpc_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
 from cpc_tpu.train.checkpoint import CheckpointManager
@@ -48,17 +48,29 @@ class Trainer:
         self.steps = make_step_fns(cfg, self.model, self.mesh)
         self.params, self.opt_state = init_state(cfg, self.model,
                                                  self.steps.optimizer)
+        # device_corpus: the whole int16 corpus lives in HBM; the Batcher
+        # yields (B,) index vectors in the SAME (seed, epoch, pos) order —
+        # resume state and batch contents are identical to the host path
+        dc = cfg.data.device_corpus
+        self._corpus = load_device_corpus(train_dataset) if dc else None
         self.batcher = Batcher(
             train_dataset, cfg.data.batch_size, shuffle=cfg.data.shuffle,
             seed=cfg.train.seed, prefetch=cfg.data.prefetch,
             transfer_dtype=cfg.data.transfer_dtype,
             num_workers=cfg.data.num_workers,
+            yield_indices=dc,
         )
         self.val_batcher = None
+        self._val_corpus = None
         if val_dataset is not None:
+            if dc:
+                self._val_corpus = (
+                    self._corpus if val_dataset is train_dataset
+                    else load_device_corpus(val_dataset))
             self.val_batcher = Batcher(
                 val_dataset, cfg.data.batch_size, shuffle=False,
-                seed=0, transfer_dtype=cfg.data.transfer_dtype)
+                seed=0, transfer_dtype=cfg.data.transfer_dtype,
+                yield_indices=dc)
         self.writer = MetricWriter(workdir)
         self.ckpt = (CheckpointManager(f"{workdir}/{cfg.train.checkpoint_dir}",
                                        cfg.train.keep_checkpoints)
@@ -144,11 +156,17 @@ class Trainer:
                 # per-step key keeps augmentation reproducible and
                 # resume-exact (step count is checkpointed)
                 rng = jax.random.fold_in(aug_key, self.step)
+            if self._corpus is not None:
+                # host_batch is the (B,) index vector; gather runs on device
+                args = (self.params, self.opt_state, self._corpus, batch)
+            else:
+                args = (self.params, self.opt_state, batch)
+            if aug_key is not None:
                 self.params, self.opt_state, metrics = self.steps.train_step(
-                    self.params, self.opt_state, batch, rng)
+                    *args, rng)
             else:
                 self.params, self.opt_state, metrics = self.steps.train_step(
-                    self.params, self.opt_state, batch)
+                    *args)
             self.step += 1
             steps_since_log += 1
             if self.step % cfg.log_every == 0 or self.step == total:
@@ -191,7 +209,11 @@ class Trainer:
             if i >= max_batches:
                 break
             batch = to_device(host_batch, self._sharding)
-            m = self.steps.eval_step(self.params, batch)
+            if self._val_corpus is not None:
+                m = self.steps.eval_step(self.params, self._val_corpus,
+                                         batch)
+            else:
+                m = self.steps.eval_step(self.params, batch)
             for k, v in m.items():
                 agg[k] = agg.get(k, 0.0) + np.asarray(v)
             n += 1

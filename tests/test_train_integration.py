@@ -174,3 +174,58 @@ def test_multi_step_with_augment(corpus):
     p2, s2, loss = multi(params, opt_state, jnp.asarray(stack),
                          jax.random.key(0))
     assert np.isfinite(float(loss))
+
+
+def test_device_corpus_matches_host_path(corpus):
+    """data.device_corpus (HBM-resident corpus + on-device index gather —
+    the mitigation for transfer stacks that retain staged payloads) must
+    train IDENTICALLY to the host batch path: same (seed, epoch, pos)
+    order, same int16 batch contents, same updates."""
+    from cpc_tpu.data.loader import load_device_corpus
+    from cpc_tpu.parallel.mesh import make_mesh
+
+    cfg = tiny_cfg()
+    dcfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, device_corpus=True))
+    mesh1 = make_mesh((1,), ("data",), devices=jax.devices()[:1])
+
+    tr_h = Trainer(cfg, SnippetDataset(corpus, cfg.data.snippet_samples),
+                   mesh=mesh1)
+    tr_h.train(8)
+    tr_d = Trainer(dcfg, SnippetDataset(corpus, cfg.data.snippet_samples),
+                   mesh=mesh1)
+    tr_d.train(8)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7),
+        tr_h.params, tr_d.params)
+
+    # multi-device mesh must refuse loudly (per-host shards belong to the
+    # host path), and the HBM budget guard must trip before a huge upload
+    with pytest.raises(ValueError, match="single-device"):
+        Trainer(dcfg, SnippetDataset(corpus, cfg.data.snippet_samples))
+    ds = SnippetDataset(corpus, cfg.data.snippet_samples)
+    with pytest.raises(ValueError, match="budget"):
+        load_device_corpus(ds, budget_bytes=1000)
+
+
+def test_device_corpus_validation_and_resume(corpus, tmp_path):
+    """device_corpus composes with validation and exact resume."""
+    from cpc_tpu.parallel.mesh import make_mesh
+    cfg = tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, device_corpus=True),
+        train=dataclasses.replace(cfg.train, eval_every=5,
+                                  checkpoint_every=5))
+    mesh1 = make_mesh((1,), ("data",), devices=jax.devices()[:1])
+    ds = SnippetDataset(corpus, cfg.data.snippet_samples)
+    wd = str(tmp_path / "dc")
+    tr = Trainer(cfg, ds, val_dataset=ds, workdir=wd, mesh=mesh1)
+    tr.train(10)
+    tr.close()
+    tr2 = Trainer(cfg, SnippetDataset(corpus, cfg.data.snippet_samples),
+                  workdir=wd, mesh=mesh1)
+    assert tr2.maybe_resume()
+    assert tr2.step == 10
+    tr2.close()

@@ -203,16 +203,29 @@ def to_dict(cfg: CPCConfig) -> dict:
 def from_dict(d: dict) -> CPCConfig:
     """Inverse of to_dict: rebuilds the frozen dataclass tree, restoring
     the tuple-typed fields JSON flattened to lists. Unknown keys raise —
-    a config written by a newer version should not silently lose knobs."""
+    a config written by a newer version should not silently lose knobs.
+
+    Nested configs are recognized by the field's TYPE ANNOTATION (with
+    Optional unwrapped), not its default value, so fields declared with
+    default_factory or `Optional[SubConfig] = None` deserialize correctly
+    instead of leaving a raw dict in the frozen tree."""
+    import typing
+
     def build(cls, sub):
         fields = {f.name: f for f in dataclasses.fields(cls)}
+        hints = typing.get_type_hints(cls)
         unknown = set(sub) - set(fields)
         if unknown:
             raise ValueError(f"unknown {cls.__name__} keys: {sorted(unknown)}")
         kw = {}
         for k, v in sub.items():
-            if dataclasses.is_dataclass(fields[k].default):
-                kw[k] = build(type(fields[k].default), v)
+            t = hints.get(k)
+            if typing.get_origin(t) is typing.Union:
+                args = [a for a in typing.get_args(t) if a is not type(None)]
+                if len(args) == 1:
+                    t = args[0]
+            if dataclasses.is_dataclass(t) and isinstance(v, dict):
+                kw[k] = build(t, v)
             elif isinstance(v, list):
                 kw[k] = tuple(tuple(e) if isinstance(e, list) else e
                               for e in v)

@@ -75,7 +75,36 @@ def main(argv=None) -> int:
                    help="bake the weights in this dtype (bfloat16 halves "
                         "the artifact; ~1e-2 relative feature error). "
                         "Windowed extractor only")
+    p.add_argument("--export-stats", type=float, nargs=2, default=None,
+                   metavar=("MEAN", "STD"),
+                   help="streaming export: bake a fixed (x-MEAN)/STD input "
+                        "normalization into the step (a stream cannot "
+                        "reproduce the per-snippet normalization most "
+                        "presets train with — pass corpus-level stats or "
+                        "the artifact sees raw samples)")
     args = p.parse_args(argv)
+
+    streaming_export = args.export_streaming is not None
+    if args.export_model is None:
+        for flag, name in ((streaming_export, "--export-streaming"),
+                           (args.export_streams != 1, "--export-streams"),
+                           (args.export_batch is not None, "--export-batch"),
+                           (args.export_dtype is not None, "--export-dtype"),
+                           (args.export_stats is not None, "--export-stats")):
+            if flag:
+                p.error(f"{name} requires --export-model")
+    elif streaming_export:
+        # flags that only shape the WINDOWED artifact must not be
+        # silently dropped in streaming mode
+        for flag, name in ((args.export_batch is not None, "--export-batch"),
+                           (args.export_dtype is not None, "--export-dtype")):
+            if flag:
+                p.error(f"{name} applies to the windowed extractor, not "
+                        "--export-streaming")
+    elif args.export_stats is not None:
+        p.error("--export-stats applies to --export-streaming (the "
+                "windowed extractor bakes the training-matched per-window "
+                "normalization automatically)")
 
     saved = os.path.join(args.workdir, "config.json")
     if args.config is not None:
@@ -104,9 +133,17 @@ def main(argv=None) -> int:
         from cpc_tpu.export import (export_extractor, export_streaming_step,
                                     save_artifact)
         if args.export_streaming is not None:
+            if cfg.data.normalize and args.export_stats is None:
+                print(json.dumps({"warning": (
+                    "this config trains on per-snippet-NORMALIZED input, "
+                    "which a stream cannot reproduce; the streaming "
+                    "artifact will see raw samples. Pass --export-stats "
+                    "MEAN STD (corpus-level) to bake a fixed input "
+                    "normalization")}))
             exp = export_streaming_step(model, params,
                                         chunk_latents=args.export_streaming,
-                                        n_streams=args.export_streams)
+                                        n_streams=args.export_streams,
+                                        stats=args.export_stats)
         else:
             exp = export_extractor(model, params,
                                    snippet_samples=cfg.data.snippet_samples,

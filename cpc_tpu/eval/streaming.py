@@ -70,6 +70,31 @@ def receptive_field(kernels, strides) -> Tuple[int, int]:
     return rf, jump
 
 
+def portable_stream_model(cfg) -> CPCModel:
+    """The streaming clone: VALID padding, fp32 compute, XLA-only paths,
+    sharing the exact parameter tree of `cfg` (padding/dtype/kernel flags
+    do not change parameter shapes). Validates the streaming-compatible
+    encoder contract. Single source of truth for BOTH the live
+    StreamingExtractor and the exported streaming step
+    (cpc_tpu.export.export_streaming_step) — they must never diverge."""
+    if cfg.encoder.kind != "conv1d":
+        raise ValueError(
+            "streaming extraction supports the conv1d encoder only "
+            f"(got {cfg.encoder.kind!r}); the scalogram front-end is "
+            "frame-based — use windowed extract_features")
+    if cfg.encoder.norm in ("batch", "group"):
+        raise ValueError(
+            f"encoder norm {cfg.encoder.norm!r} computes statistics over "
+            "the time axis, so chunked output would silently diverge "
+            "from the offline forward; streaming supports norm "
+            "'none'/'layer' (use windowed extract_features otherwise)")
+    enc = dataclasses.replace(cfg.encoder, padding="VALID",
+                              use_pallas=False)
+    ar = dataclasses.replace(cfg.ar, use_pallas=False)
+    return CPCModel(dataclasses.replace(cfg, encoder=enc, ar=ar,
+                                        dtype="float32"))
+
+
 class StreamingExtractor:
     """Feed chunks with push(), collect (z, c) increments; reset() restarts.
 
@@ -88,29 +113,14 @@ class StreamingExtractor:
         if n_streams < 1:
             raise ValueError(f"n_streams must be >= 1, got {n_streams}")
         self.n_streams = n_streams
-        if cfg.encoder.kind != "conv1d":
-            raise ValueError(
-                "streaming extraction supports the conv1d encoder only "
-                f"(got {cfg.encoder.kind!r}); the scalogram front-end is "
-                "frame-based — use windowed extract_features")
         if cfg.ar.kind not in ("gru", "transformer"):
             raise ValueError(f"unknown gar kind {cfg.ar.kind!r}")
-        if cfg.encoder.norm in ("batch", "group"):
-            raise ValueError(
-                f"encoder norm {cfg.encoder.norm!r} computes statistics over "
-                "the time axis, so chunked output would silently diverge "
-                "from the offline forward; streaming supports norm "
-                "'none'/'layer' (use windowed extract_features otherwise)")
-        # VALID-padding fp32 clone sharing the exact parameter tree (padding
-        # and compute dtype do not change parameter shapes); the fused
-        # Pallas pyramid is SAME-only and the Pallas GRU cannot export its
-        # fp32 scratch state, so route through XLA convs + lax.scan.
-        enc = dataclasses.replace(cfg.encoder, padding="VALID",
-                                  use_pallas=False)
-        ar = dataclasses.replace(cfg.ar, use_pallas=False)
-        self._model = CPCModel(dataclasses.replace(
-            cfg, encoder=enc, ar=ar, dtype="float32"))
+        # VALID fp32 XLA clone (the fused Pallas pyramid is SAME-only and
+        # the Pallas GRU cannot export its fp32 scratch state); shared
+        # definition with the serving export — see portable_stream_model.
+        self._model = portable_stream_model(cfg)
         self._params = params
+        ar = self._model.config.ar
         self.rf, self.down = receptive_field(cfg.encoder.kernels,
                                              cfg.encoder.strides)
         self._stats = None if stats is None else (float(stats[0]),

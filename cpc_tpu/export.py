@@ -48,13 +48,11 @@ from cpc_tpu.ops.dsp import prepare_waveform
 FORMAT_VERSION = 1
 
 
-def _portable_model(model: CPCModel, **overrides) -> CPCModel:
+def _portable_model(model: CPCModel) -> CPCModel:
     cfg = model.config
-    enc = dataclasses.replace(cfg.encoder, use_pallas=False,
-                              **overrides.pop("encoder", {}))
+    enc = dataclasses.replace(cfg.encoder, use_pallas=False)
     ar = dataclasses.replace(cfg.ar, use_pallas=False)
-    return CPCModel(dataclasses.replace(cfg, encoder=enc, ar=ar,
-                                        **overrides))
+    return CPCModel(dataclasses.replace(cfg, encoder=enc, ar=ar))
 
 
 def _cast_params(params, dtype_name: Optional[str]):
@@ -128,22 +126,17 @@ def export_streaming_step(
     cfg = model.config
     if chunk_latents < 1:
         raise ValueError(f"chunk_latents must be >= 1, got {chunk_latents}")
+    if n_streams < 1:
+        raise ValueError(f"n_streams must be >= 1, got {n_streams}")
     if cfg.ar.kind != "gru":
         raise ValueError(
             "the streaming-step artifact requires the GRU gar (the "
             "transformer's KV cache is not a constant-size carry); export "
             "the windowed extractor instead")
-    if cfg.encoder.kind != "conv1d":
-        raise ValueError(
-            "streaming export supports the conv1d encoder only (the "
-            "scalogram front-end is frame-based — export the windowed "
-            "extractor)")
-    if cfg.encoder.norm in ("batch", "group"):
-        raise ValueError(
-            f"encoder norm {cfg.encoder.norm!r} computes statistics over "
-            "the time axis and cannot stream (see StreamingExtractor)")
-    m = _portable_model(
-        model, encoder={"padding": "VALID"}, dtype="float32")
+    # the exact clone the live StreamingExtractor runs (shared definition
+    # — validates conv1d encoder + streamable norm)
+    from cpc_tpu.eval.streaming import portable_stream_model
+    m = portable_stream_model(cfg)
     rf, down = receptive_field(cfg.encoder.kernels, cfg.encoder.strides)
     window = rf + (chunk_latents - 1) * down
     fixed = None if stats is None else (float(stats[0]), float(stats[1]))

@@ -84,9 +84,12 @@ def resolve_fuse_heads(cfg: CPCConfig, mesh=None) -> bool:
             and loss_cfg.negatives == "same_step"):
         return False
     n_dev = 1 if mesh is None else mesh.size
-    local_b = cfg.data.batch_size // max(n_dev, 1)
-    C = cfg.data.batch_size if (n_dev == 1 or loss_cfg.cross_replica) \
-        else local_b
+    # with gradient accumulation each loss_fn call sees a MICROBATCH, so
+    # the candidate pool the kernel actually builds is batch / accum_steps
+    accum = max(cfg.train.accum_steps, 1)
+    local_b = cfg.data.batch_size // (max(n_dev, 1) * accum)
+    C = cfg.data.batch_size // accum \
+        if (n_dev == 1 or loss_cfg.cross_replica) else local_b
     from cpc_tpu.ops.infonce_fused import MEASURED_C_ENVELOPE
     if C <= MEASURED_C_ENVELOPE:
         return True
@@ -261,6 +264,12 @@ def make_multi_step(cfg: CPCConfig, model: CPCModel, n_steps: int,
     With cfg.data.augment (or transformer dropout), pass an `rng` key: it is
     split into one key per step and threaded through the scan (the inner
     step folds in axis_index for per-replica randomness under DP)."""
+    if cfg.data.device_corpus:
+        raise ValueError(
+            "make_multi_step takes pre-staged BATCHES; data.device_corpus "
+            "steps take (corpus, idx) instead — stage batches device-side "
+            "yourself (they already avoid per-step transfers) or drop the "
+            "flag")
     steps = make_step_fns(cfg, model, mesh)
     want_rng = needs_rng(cfg)
 

@@ -64,9 +64,19 @@ class Trainer:
         self._val_corpus = None
         if val_dataset is not None:
             if dc:
-                self._val_corpus = (
-                    self._corpus if val_dataset is train_dataset
-                    else load_device_corpus(val_dataset))
+                # reuse the train corpus when the val dataset indexes the
+                # SAME snippets (same files + geometry — distinct python
+                # objects over one corpus dir are common, e.g. the CLI);
+                # a second upload would double HBM and host decode
+                same = val_dataset is train_dataset or (
+                    type(val_dataset) is type(train_dataset)
+                    and val_dataset.files == train_dataset.files
+                    and val_dataset.snippet_samples
+                        == train_dataset.snippet_samples
+                    and val_dataset.snippet_stride
+                        == train_dataset.snippet_stride)
+                self._val_corpus = (self._corpus if same
+                                    else load_device_corpus(val_dataset))
             self.val_batcher = Batcher(
                 val_dataset, cfg.data.batch_size, shuffle=False,
                 seed=0, transfer_dtype=cfg.data.transfer_dtype,

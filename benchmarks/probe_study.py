@@ -30,6 +30,83 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def probe_milestone(model, params, probe_ds, *, normalize: bool,
+                    probe_seeds: int = 3) -> dict:
+    """One milestone's full probe battery (shared with probe_ckpt.py).
+
+    ONE feature sweep (extraction dominates probe cost), then every
+    split/seed probes the cached features. Returns the row dict WITHOUT
+    the "step" key (the caller knows the step).
+    """
+    import numpy as np
+
+    from cpc_tpu.eval.probes import (extract_phone_frame_features,
+                                     extract_speaker_frame_features,
+                                     pool_time, probe_phone_features,
+                                     probe_speaker_features)
+
+    frames, ylab, files = extract_speaker_frame_features(
+        model, params, probe_ds, max_snippets=len(probe_ds),
+        normalize=normalize)
+    pooled = pool_time(frames, "mean")
+    # c[:, -1] holds evidence integrated over the whole snippet (the
+    # speaker posterior a recurrent gar accumulates); mean pooling
+    # dilutes it with uninformed early frames
+    last = pool_time(frames, "last")
+    del frames
+    n_spk = probe_ds.num_speakers
+    # HEADLINE: file-disjoint split — eval snippets come from utterances
+    # the probe never saw. The snippet-level split leaks per-utterance
+    # signatures (each file draws its own f0), so it overstates
+    # speaker-ID; reported alongside for comparison.
+    file_accs, last_accs, snip_accs = [], [], []
+    file_eval_ns, snip_eval_ns = [], []
+    for ps in range(probe_seeds):
+        spk_f = probe_speaker_features(pooled, ylab, files, n_spk,
+                                       steps=400, seed=ps, split="file")
+        file_accs.append(spk_f.accuracy)
+        file_eval_ns.append(spk_f.num_eval)
+        last_accs.append(probe_speaker_features(
+            last, ylab, files, n_spk, steps=400, seed=ps,
+            split="file").accuracy)
+        spk_s = probe_speaker_features(pooled[:800], ylab[:800],
+                                       files[:800], n_spk,
+                                       steps=400, seed=ps)
+        snip_accs.append(spk_s.accuracy)
+        snip_eval_ns.append(spk_s.num_eval)
+    # utterance pooling collapses ~9 snippets into one item, so it uses
+    # the WHOLE corpus to keep enough items per class
+    utt = probe_speaker_features(pooled, ylab, files, n_spk, steps=400,
+                                 pool="utterance")
+    # Phone probe under BOTH splits (extraction cached across seeds).
+    # file split = honest protocol (eval frames from held-out
+    # utterances); snippet split kept for the leak-size comparison.
+    ph_feats, ph_lab, ph_files = extract_phone_frame_features(
+        model, params, probe_ds, feature="z", max_snippets=200,
+        normalize=normalize)
+    ph_file_accs = [probe_phone_features(
+        ph_feats, ph_lab, ph_files, steps=400, seed=ps,
+        split="file").accuracy for ps in range(probe_seeds)]
+    ph = probe_phone_features(ph_feats, ph_lab, ph_files, steps=400,
+                              split="snippet")
+    return {"speaker_file_acc": round(float(np.mean(file_accs)), 4),
+            "speaker_file_acc_std": round(float(np.std(file_accs)), 4),
+            "speaker_file_last_acc": round(float(np.mean(last_accs)), 4),
+            "speaker_file_last_acc_std": round(float(np.std(last_accs)), 4),
+            "speaker_file_eval_n": int(np.mean(file_eval_ns)),
+            "speaker_acc": round(float(np.mean(snip_accs)), 4),
+            "speaker_acc_std": round(float(np.std(snip_accs)), 4),
+            "speaker_eval_n": int(np.mean(snip_eval_ns)),
+            "speaker_classes": spk_s.num_classes,
+            "speaker_utt_acc": round(utt.accuracy, 4),
+            "speaker_utt_eval_n": utt.num_eval,
+            "phone_file_acc": round(float(np.mean(ph_file_accs)), 4),
+            "phone_file_acc_std": round(float(np.std(ph_file_accs)), 4),
+            "phone_snip_acc": round(ph.accuracy, 4),
+            "phone_eval_n": ph.num_eval,
+            "phone_classes": ph.num_classes}
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--milestones", default="0,500,1000,2000,4000")
@@ -74,10 +151,6 @@ def main() -> None:
     from cpc_tpu.config import presets
     from cpc_tpu.data.dataset import ProbeDataset, SnippetDataset
     from cpc_tpu.data.synthetic import generate_synthetic_corpus
-    from cpc_tpu.eval.probes import (extract_phone_frame_features,
-                                     extract_speaker_frame_features,
-                                     pool_time, probe_phone_features,
-                                     probe_speaker_features)
     from cpc_tpu.models.cpc import CPCModel
     from cpc_tpu.train.trainer import Trainer
 
@@ -148,70 +221,10 @@ def main() -> None:
                               "secs": round(time.time() - t0, 1)}),
                   flush=True)
             prev = ms
-        import numpy as np
-        # ONE feature sweep per milestone (extraction dominates probe cost),
-        # then every split/seed probes the cached features.
-        frames, ylab, files = extract_speaker_frame_features(
-            model, tr.params, probe_ds, max_snippets=len(probe_ds),
-            normalize=cfg.data.normalize)
-        pooled = pool_time(frames, "mean")
-        # c[:, -1] holds evidence integrated over the whole snippet (the
-        # speaker posterior a recurrent gar accumulates); mean pooling
-        # dilutes it with uninformed early frames
-        last = pool_time(frames, "last")
-        del frames
-        n_spk = probe_ds.num_speakers
-        # HEADLINE: file-disjoint split — eval snippets come from utterances
-        # the probe never saw. The snippet-level split leaks per-utterance
-        # signatures (each file draws its own f0), so it overstates
-        # speaker-ID; reported alongside for comparison.
-        file_accs, last_accs, snip_accs = [], [], []
-        file_eval_ns, snip_eval_ns = [], []
-        for ps in range(args.probe_seeds):
-            spk_f = probe_speaker_features(pooled, ylab, files, n_spk,
-                                           steps=400, seed=ps, split="file")
-            file_accs.append(spk_f.accuracy)
-            file_eval_ns.append(spk_f.num_eval)
-            last_accs.append(probe_speaker_features(
-                last, ylab, files, n_spk, steps=400, seed=ps,
-                split="file").accuracy)
-            spk_s = probe_speaker_features(pooled[:800], ylab[:800],
-                                           files[:800], n_spk,
-                                           steps=400, seed=ps)
-            snip_accs.append(spk_s.accuracy)
-            snip_eval_ns.append(spk_s.num_eval)
-        # utterance pooling collapses ~9 snippets into one item, so it uses
-        # the WHOLE corpus to keep enough items per class
-        utt = probe_speaker_features(pooled, ylab, files, n_spk, steps=400,
-                                     pool="utterance")
-        # Phone probe under BOTH splits (extraction cached across seeds).
-        # file split = honest protocol (eval frames from held-out
-        # utterances); snippet split kept for the leak-size comparison.
-        ph_feats, ph_lab, ph_files = extract_phone_frame_features(
-            model, tr.params, probe_ds, feature="z", max_snippets=200,
-            normalize=cfg.data.normalize)
-        ph_file_accs = [probe_phone_features(
-            ph_feats, ph_lab, ph_files, steps=400, seed=ps,
-            split="file").accuracy for ps in range(args.probe_seeds)]
-        ph = probe_phone_features(ph_feats, ph_lab, ph_files, steps=400,
-                                  split="snippet")
         row = {"step": ms,
-               "speaker_file_acc": round(float(np.mean(file_accs)), 4),
-               "speaker_file_acc_std": round(float(np.std(file_accs)), 4),
-               "speaker_file_last_acc": round(float(np.mean(last_accs)), 4),
-               "speaker_file_last_acc_std": round(float(np.std(last_accs)), 4),
-               "speaker_file_eval_n": int(np.mean(file_eval_ns)),
-               "speaker_acc": round(float(np.mean(snip_accs)), 4),
-               "speaker_acc_std": round(float(np.std(snip_accs)), 4),
-               "speaker_eval_n": int(np.mean(snip_eval_ns)),
-               "speaker_classes": spk_s.num_classes,
-               "speaker_utt_acc": round(utt.accuracy, 4),
-               "speaker_utt_eval_n": utt.num_eval,
-               "phone_file_acc": round(float(np.mean(ph_file_accs)), 4),
-               "phone_file_acc_std": round(float(np.std(ph_file_accs)), 4),
-               "phone_snip_acc": round(ph.accuracy, 4),
-               "phone_eval_n": ph.num_eval,
-               "phone_classes": ph.num_classes}
+               **probe_milestone(model, tr.params, probe_ds,
+                                 normalize=cfg.data.normalize,
+                                 probe_seeds=args.probe_seeds)}
         results.append(row)
         print(json.dumps(row), flush=True)
     tr.close()

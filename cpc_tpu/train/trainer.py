@@ -21,6 +21,7 @@ from cpc_tpu.config import CPCConfig
 from cpc_tpu.data.dataset import SnippetDataset
 from cpc_tpu.data.loader import Batcher, load_device_corpus, to_device
 from cpc_tpu.models.cpc import CPCModel
+from cpc_tpu.parallel import multihost
 from cpc_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
 from cpc_tpu.train.checkpoint import CheckpointManager
 from cpc_tpu.train.metrics import MetricWriter
@@ -48,6 +49,20 @@ class Trainer:
         self.steps = make_step_fns(cfg, self.model, self.mesh)
         self.params, self.opt_state = init_state(cfg, self.model,
                                                  self.steps.optimizer)
+        # multi-process (multi-host) run: same SPMD step over a mesh that
+        # spans processes. Host-side differences only — see parallel/
+        # multihost.py. Init is deterministic (seeded), so every process
+        # holds identical values; replicate() lifts them to global arrays.
+        self._mh = multihost.active()
+        if self._mh:
+            if self.mesh.devices.size != jax.device_count():
+                raise ValueError(
+                    f"multi-process training needs the mesh to span all "
+                    f"{jax.device_count()} global devices, got "
+                    f"{self.mesh.devices.size} (per-process sub-meshes "
+                    f"cannot run one SPMD program)")
+            self.params = multihost.replicate(self.params, self.mesh)
+            self.opt_state = multihost.replicate(self.opt_state, self.mesh)
         # device_corpus: the whole int16 corpus lives in HBM; the Batcher
         # yields (B,) index vectors in the SAME (seed, epoch, pos) order —
         # resume state and batch contents are identical to the host path
@@ -81,11 +96,18 @@ class Trainer:
                 val_dataset, cfg.data.batch_size, shuffle=False,
                 seed=0, transfer_dtype=cfg.data.transfer_dtype,
                 yield_indices=dc)
-        self.writer = MetricWriter(workdir)
+        main = not self._mh or multihost.is_main()
+        # metrics/config are process-0's job; checkpoints go through orbax
+        # COOPERATIVELY (every process calls save/restore on the shared
+        # workdir — orbax writes replicated data from the primary host and
+        # syncs the others), with async off: an async save's background
+        # barrier from a process that has moved on deadlocks the rest
+        self.writer = MetricWriter(workdir if main else None)
         self.ckpt = (CheckpointManager(f"{workdir}/{cfg.train.checkpoint_dir}",
-                                       cfg.train.keep_checkpoints)
+                                       cfg.train.keep_checkpoints,
+                                       async_save=not self._mh)
                      if workdir else None)
-        if workdir:
+        if workdir and main:
             # persist the RESOLVED config (after CLI overrides) so the run
             # is reproducible and eval can probe with the exact training
             # config instead of trusting the caller to re-pass flags
@@ -104,17 +126,36 @@ class Trainer:
         """Restore latest checkpoint if present; returns True if resumed."""
         if self.ckpt is None:
             return False
-        got = self.ckpt.restore_latest(self.params, self.opt_state)
+        if self._mh:
+            # checkpoints hold host-local numpy (see _ckpt_state); restore
+            # against numpy templates on every process, then re-replicate
+            tpl = (multihost.host_local(self.params),
+                   multihost.host_local(self.opt_state))
+        else:
+            tpl = (self.params, self.opt_state)
+        got = self.ckpt.restore_latest(*tpl)
         if got is None:
             return False
         self.params, self.opt_state, self.step, batcher_state = got
-        if self.mesh.size > 1:
+        if self._mh:
+            self.params = multihost.replicate(self.params, self.mesh)
+            self.opt_state = multihost.replicate(self.opt_state, self.mesh)
+        elif self.mesh.size > 1:
             # orbax restores onto the default device; re-replicate over the mesh
             rep = replicated(self.mesh)
             self.params = jax.device_put(self.params, rep)
             self.opt_state = jax.device_put(self.opt_state, rep)
         self.batcher.restore(batcher_state)
         return True
+
+    def _ckpt_state(self):
+        """(params, opt_state) as the checkpoint payload: host-local numpy
+        under multi-process (identical on every process — orbax writes
+        once from the primary), live arrays otherwise."""
+        if self._mh:
+            return (multihost.host_local(self.params),
+                    multihost.host_local(self.opt_state))
+        return self.params, self.opt_state
 
     # distinct from None: signal.signal() legitimately returns None when the
     # previous handler was installed from C, and that case must still be
@@ -161,7 +202,10 @@ class Trainer:
                    if needs_rng(self.cfg) else None)
         while self.step < total:
             _, _, host_batch = next(it)
-            batch = to_device(host_batch, self._sharding)
+            if self._mh:
+                batch = multihost.shard_batch(host_batch, self._sharding)
+            else:
+                batch = to_device(host_batch, self._sharding)
             if aug_key is not None:
                 # per-step key keeps augmentation reproducible and
                 # resume-exact (step count is checkpointed)
@@ -194,13 +238,13 @@ class Trainer:
                 self.writer.write(self.step, self.validate(), "val")
             if self.ckpt is not None and (
                     self.step % cfg.checkpoint_every == 0 or self.step == total):
-                self.ckpt.save(self.step, self.params, self.opt_state,
+                self.ckpt.save(self.step, *self._ckpt_state(),
                                self.batcher.state())
             if self.preempted:
                 if self.ckpt is not None and not (
                         self.step % cfg.checkpoint_every == 0
                         or self.step == total):  # not already saved above
-                    self.ckpt.save(self.step, self.params, self.opt_state,
+                    self.ckpt.save(self.step, *self._ckpt_state(),
                                    self.batcher.state())
                 self.writer.write(self.step,
                                   {"preempted": 1.0, **last_metrics}, "train")
@@ -218,7 +262,10 @@ class Trainer:
         for i, (_, _, host_batch) in enumerate(self.val_batcher.one_epoch()):
             if i >= max_batches:
                 break
-            batch = to_device(host_batch, self._sharding)
+            if self._mh:
+                batch = multihost.shard_batch(host_batch, self._sharding)
+            else:
+                batch = to_device(host_batch, self._sharding)
             if self._val_corpus is not None:
                 m = self.steps.eval_step(self.params, self._val_corpus,
                                          batch)

@@ -1,0 +1,68 @@
+"""One training process of a multi-process CPU rehearsal run; spawned by
+tests/test_multihost.py (NOT a pytest file). Prints one JSON line per
+logged step from the main process."""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--pid", type=int, required=True)
+    p.add_argument("--nprocs", type=int, required=True)
+    p.add_argument("--port", type=int, required=True)
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--steps", type=int, required=True)
+    p.add_argument("--ckpt-every", type=int, default=1000)
+    p.add_argument("--resume", action="store_true")
+    args = p.parse_args()
+
+    if args.nprocs > 1:
+        from cpc_tpu.parallel import multihost
+        multihost.initialize(f"127.0.0.1:{args.port}",
+                             num_processes=args.nprocs,
+                             process_id=args.pid)
+
+    from cpc_tpu.config import presets
+    from cpc_tpu.data.dataset import SnippetDataset
+    from cpc_tpu.train.trainer import Trainer
+
+    cfg = presets.by_name("baseline")
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model,
+            encoder=dataclasses.replace(cfg.model.encoder,
+                                        channels=(16, 16, 16),
+                                        kernels=(10, 8, 4),
+                                        strides=(5, 4, 2), d_enc=16),
+            ar=dataclasses.replace(cfg.model.ar, d_ar=16)),
+        data=dataclasses.replace(cfg.data, batch_size=8,
+                                 snippet_samples=2000),
+        train=dataclasses.replace(cfg.train, num_steps=args.steps,
+                                  log_every=1, eval_every=10**9,
+                                  checkpoint_every=args.ckpt_every),
+    )
+    ds = SnippetDataset(args.corpus, cfg.data.snippet_samples)
+    tr = Trainer(cfg, ds, workdir=args.workdir)
+    resumed = tr.maybe_resume() if args.resume else False
+    tr.train(args.steps)
+    tr.close()
+    if args.pid == 0:
+        print(json.dumps({"done": tr.step, "resumed": bool(resumed),
+                          "procs": jax.process_count(),
+                          "devices": jax.device_count()}), flush=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

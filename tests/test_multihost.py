@@ -1,0 +1,115 @@
+"""Multi-process (multi-host) DP rehearsal (SURVEY.md §6.8): 2 CPU
+processes x 4 devices each must train the SAME SPMD program as one
+process x 8 devices — identical logical mesh, Gloo collectives across the
+process boundary — and produce the same loss trajectory. Also covers
+cooperative checkpointing: a 2-process run resumed in fresh processes
+continues the trajectory.
+
+These tests spawn real subprocesses (jax.distributed coordinator +
+workers), so they live outside the in-process jax session entirely; the
+conftest platform flip does not apply to the children (tests/mh_driver.py
+pins the CPU platform itself).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DRIVER = os.path.join(REPO, "tests", "mh_driver.py")
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    from cpc_tpu.data.synthetic import generate_synthetic_corpus
+    root = str(tmp_path_factory.mktemp("mh_corpus"))
+    generate_synthetic_corpus(root, num_speakers=4, files_per_speaker=2,
+                              seconds_per_file=1.0, seed=7)
+    return root
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _run(corpus, workdir, *, nprocs, devs_per_proc, steps, ckpt_every=1000,
+         resume=False):
+    """Launch `nprocs` driver processes; return pid-0's final JSON line."""
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # no TPU claim from children
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                        f" --xla_force_host_platform_device_count={devs_per_proc}")
+    procs = []
+    for pid in range(nprocs):
+        cmd = [sys.executable, DRIVER, "--pid", str(pid),
+               "--nprocs", str(nprocs), "--port", str(port),
+               "--workdir", workdir, "--corpus", corpus,
+               "--steps", str(steps), "--ckpt-every", str(ckpt_every)]
+        if resume:
+            cmd.append("--resume")
+        procs.append(subprocess.Popen(
+            cmd, cwd=REPO, env=env, text=True,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"proc rc={p.returncode}\n{out}\n{err}"
+    lines = [json.loads(l) for l in outs[0][0].strip().splitlines()
+             if l.startswith("{")]
+    return lines[-1]
+
+
+def _losses(workdir):
+    out = {}
+    with open(os.path.join(workdir, "metrics.jsonl")) as f:
+        for line in f:
+            rec = json.loads(line)
+            if rec.get("prefix") == "train" and "loss" in rec:
+                out[rec["step"]] = rec["loss"]
+    return out
+
+
+def test_two_process_matches_single_process(corpus, tmp_path):
+    wd1 = str(tmp_path / "single")
+    wd2 = str(tmp_path / "multi")
+
+    done1 = _run(corpus, wd1, nprocs=1, devs_per_proc=8, steps=8)
+    done2 = _run(corpus, wd2, nprocs=2, devs_per_proc=4, steps=8)
+    assert done1["done"] == 8
+    assert done2["done"] == 8 and done2["procs"] == 2 and done2["devices"] == 8
+
+    l1, l2 = _losses(wd1), _losses(wd2)
+    assert set(l1) == set(l2) and len(l1) == 8
+    for step in sorted(l1):
+        # same global batch, same SPMD program; only the collective
+        # transport differs (XLA intra-process vs Gloo across), so allow
+        # reduction-order noise but nothing more
+        np.testing.assert_allclose(l2[step], l1[step], rtol=1e-5,
+                                   err_msg=f"step {step}")
+
+
+def test_two_process_checkpoint_resume(corpus, tmp_path):
+    wd_ref = str(tmp_path / "straight")
+    wd_res = str(tmp_path / "resumed")
+
+    _run(corpus, wd_ref, nprocs=2, devs_per_proc=4, steps=10)
+
+    # first leg: train to 5 with a checkpoint at 5, processes exit cleanly
+    _run(corpus, wd_res, nprocs=2, devs_per_proc=4, steps=5, ckpt_every=5)
+    # second leg: FRESH processes restore cooperatively and continue to 10
+    done = _run(corpus, wd_res, nprocs=2, devs_per_proc=4, steps=10,
+                ckpt_every=5, resume=True)
+    assert done["resumed"] is True and done["done"] == 10
+
+    l_ref, l_res = _losses(wd_ref), _losses(wd_res)
+    for step in range(6, 11):
+        np.testing.assert_allclose(l_res[step], l_ref[step], rtol=1e-5,
+                                   err_msg=f"step {step}")

@@ -135,6 +135,11 @@ def main() -> None:
                         "2.56 s: ~18 phone transitions per snippet instead "
                         "of ~9, doubling the evidence available to the "
                         "context representation)")
+    p.add_argument("--batch", type=int, default=None,
+                   help="override cfg.data.batch_size (e.g. halve it when "
+                        "doubling snippet length so audio/step and the "
+                        "B*T all_steps pool stay constant across a "
+                        "context-scaling comparison)")
     p.add_argument("--device-corpus", action="store_true",
                    help="HBM-resident corpus + on-device batch gather: no "
                         "per-step host transfers (the axon tunnel retains "
@@ -160,6 +165,7 @@ def main() -> None:
         data=dataclasses.replace(
             cfg.data, augment=args.augment,
             device_corpus=args.device_corpus,
+            batch_size=(args.batch or cfg.data.batch_size),
             snippet_samples=(args.snippet_samples
                              or cfg.data.snippet_samples)),
         train=dataclasses.replace(cfg.train, num_steps=milestones[-1],

@@ -65,6 +65,18 @@ def build_argparser() -> argparse.ArgumentParser:
                         "negative pool)")
     p.add_argument("--resume", action="store_true",
                    help="resume from latest checkpoint in workdir")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-process (multi-host) run: jax.distributed "
+                        "bring-up with platform autodetection (TPU pods "
+                        "discover the coordinator and topology themselves); "
+                        "launch the SAME command on every host. Workdir "
+                        "must be shared (or synced) for checkpoints")
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="explicit jax.distributed coordinator (implies "
+                        "--distributed; for CPU rehearsal / non-TPU "
+                        "clusters). Requires --num-processes/--process-id")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--profile", action="store_true",
                    help="wrap training in a jax.profiler trace "
@@ -76,6 +88,16 @@ def build_argparser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
+    if args.coordinator is not None and (args.num_processes is None
+                                         or args.process_id is None):
+        raise SystemExit("--coordinator requires --num-processes and "
+                         "--process-id")
+    if args.distributed or args.coordinator is not None:
+        # before ANY jax device use: the Trainer's mesh must see the
+        # GLOBAL device set
+        from cpc_tpu.parallel import multihost
+        multihost.initialize(args.coordinator, args.num_processes,
+                             args.process_id)
     saved = os.path.join(args.workdir, "config.json")
     if args.config is not None:
         cfg = presets.by_name(args.config)

@@ -67,3 +67,28 @@ def test_config_roundtrip_and_eval_autoload(tmp_path):
     assert rc == 0
     res = json.loads(out.getvalue().strip().splitlines()[-1])
     assert "speaker_probe" in res
+
+
+def test_train_cli_distributed_flags(tmp_path, monkeypatch):
+    """--coordinator/--distributed wire into multihost.initialize BEFORE the
+    Trainer builds its mesh; bad flag combinations are rejected. The real
+    2-process behavior is covered end-to-end in test_multihost.py — here we
+    verify the CLI plumbing without a second process."""
+    import pytest
+    from cpc_tpu.parallel import multihost
+
+    calls = []
+    monkeypatch.setattr(multihost, "initialize",
+                        lambda *a: calls.append(a))
+    wd = str(tmp_path / "run")
+    rc = train_main([
+        "--config=baseline", "--data=synthetic", f"--workdir={wd}",
+        "--steps=1", "--batch-size=8", "--snippet-samples=4000",
+        "--coordinator=127.0.0.1:1234", "--num-processes=1",
+        "--process-id=0",
+    ])
+    assert rc == 0
+    assert calls == [("127.0.0.1:1234", 1, 0)]
+
+    with pytest.raises(SystemExit):
+        train_main(["--coordinator=127.0.0.1:1234"])  # missing nprocs/pid

@@ -77,8 +77,12 @@ def _train_linear(
     opt_state = opt.init(params)
     xt, yt = jnp.asarray(x_train), jnp.asarray(y_train)
 
+    # x/y are jit ARGUMENTS, not closure captures: captured arrays are
+    # embedded in the compiled program as constants, and at long-context
+    # feature sizes that blows past the remote-compile request limit
+    # (HTTP 413 at ~200k x 512 fp32 frames on the axon tunnel)
     @jax.jit
-    def step(params, opt_state):
+    def step(params, opt_state, xt, yt):
         def loss_fn(p):
             logits = xt @ p["w"] + p["b"]
             return optax.softmax_cross_entropy_with_integer_labels(
@@ -88,7 +92,7 @@ def _train_linear(
         return optax.apply_updates(params, updates), opt_state
 
     for _ in range(steps):
-        params, opt_state = step(params, opt_state)
+        params, opt_state = step(params, opt_state, xt, yt)
 
     logits = np.asarray(jnp.asarray(x_eval) @ params["w"] + params["b"])
     return float((logits.argmax(-1) == y_eval).mean())

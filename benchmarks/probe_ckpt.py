@@ -41,9 +41,20 @@ def main() -> None:
                         "(default: <workdir>/checkpoints)")
     p.add_argument("--steps", required=True,
                    help="comma-separated checkpoint steps to probe")
-    p.add_argument("--corpus", required=True, help="probe corpus dir")
+    p.add_argument("--corpus", default=None,
+                   help="probe corpus dir (default: the single corpus_* "
+                        "dir inside --workdir, where probe_study puts its "
+                        "generated corpus)")
     p.add_argument("--probe-seeds", type=int, default=3)
     args = p.parse_args()
+    if args.corpus is None:
+        import glob
+        cands = sorted(glob.glob(os.path.join(args.workdir, "corpus_*")))
+        if len(cands) != 1:
+            raise SystemExit(
+                f"--corpus not given and {args.workdir} holds "
+                f"{len(cands)} corpus_* dirs: {cands}")
+        args.corpus = cands[0]
 
     from cpc_tpu.config import from_dict
     from cpc_tpu.data.dataset import ProbeDataset, SnippetDataset

@@ -168,6 +168,30 @@ class StreamingExtractor:
             self._cache = jax.tree.map(jnp.copy, self._cache0)
             self._n_seen = 0
 
+    def reset_stream(self, i: int) -> None:
+        """Recycle batch row `i` for a NEW stream without disturbing the
+        others (serving churn: a caller's stream ends, another joins the
+        lockstep batch). The row's GRU state zeroes (the fresh-stream h0)
+        and its residual samples zero in place — the shared residual
+        length is structural to the lockstep design, so the new stream
+        behaves exactly as if preceded by that many zero samples: its
+        post-reset outputs equal a fresh extractor fed
+        `zeros(len(residual))` + the subsequent chunks (tested).
+
+        GRU-only: the transformer's flax decode cache has one shared
+        per-layer position index, so a single row cannot restart at
+        position 0 — reset() the whole extractor instead."""
+        if not 0 <= i < self.n_streams:
+            raise ValueError(f"stream index {i} out of range "
+                             f"[0, {self.n_streams})")
+        if self._is_tr:
+            raise NotImplementedError(
+                "per-stream reset needs a per-stream position index; the "
+                "transformer KV cache shares one — use reset()")
+        self._resid[i] = 0.0
+        if self._h is not None:
+            self._h = self._h.at[:, i, :].set(0.0)
+
     def _forward(self, params, buf):
         x = buf  # (n_streams, L)
         if self._stats is not None:

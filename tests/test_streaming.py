@@ -191,3 +191,66 @@ def test_batched_streams_equal_offline(ar_kind):
 
     with pytest.raises(ValueError, match="chunk must be"):
         ex.push(waves[:2, :100])
+
+
+def test_reset_stream_recycles_one_row():
+    """reset_stream(i): the recycled row behaves exactly as a FRESH
+    extractor fed zeros(len(residual)) + the subsequent chunks (the
+    documented lockstep semantic), and the OTHER rows are bit-identical
+    to a run that never reset."""
+    model, params, cfg = _model()
+    rng = np.random.default_rng(11)
+    waves = rng.standard_normal((3, 4000)).astype(np.float32) * 0.3
+    new_wave = rng.standard_normal(2100).astype(np.float32) * 0.3
+    cuts = [0, 900, 1900]          # pushes before the reset
+    cuts2 = [1900, 2800, 4000]     # pushes after
+
+    # reference run: no reset
+    ref = StreamingExtractor(model, params, n_streams=3)
+    ref_out = [ref.push(waves[:, a:b])
+               for a, b in zip([0, 900, 1900], [900, 1900, 2800])]
+    ref_out.append(ref.push(waves[:, 2800:4000]))
+
+    ex = StreamingExtractor(model, params, n_streams=3)
+    for a, b in zip(cuts[:-1], cuts[1:]):
+        ex.push(waves[:, a:b])
+    resid_len = ex._resid.shape[1]
+    ex.reset_stream(1)
+    post = []
+    stream1_feed = []
+    for a, b in zip(cuts2[:-1], cuts2[1:]):
+        chunk = waves[:, a:b].copy()
+        chunk[1] = new_wave[a - 1900:b - 1900]   # row 1 is a NEW stream
+        stream1_feed.append(chunk[1])
+        post.append(ex.push(chunk))
+
+    # rows 0 and 2: identical to the never-reset run
+    for k, (z, c) in enumerate(post):
+        z_ref, c_ref = ref_out[2 + k]
+        for row in (0, 2):
+            np.testing.assert_array_equal(z[row], z_ref[row])
+            np.testing.assert_array_equal(c[row], c_ref[row])
+
+    # row 1: equals a fresh extractor fed zeros(resid_len) + the new feed
+    fresh = StreamingExtractor(model, params, n_streams=1)
+    fz, fc = [], []
+    first = np.concatenate([np.zeros(resid_len, np.float32),
+                            stream1_feed[0]])
+    for chunk in [first] + stream1_feed[1:]:
+        z, c = fresh.push(chunk)
+        fz.append(z)
+        fc.append(c)
+    np.testing.assert_allclose(
+        np.concatenate([p[0][1] for p in post], axis=0),
+        np.concatenate(fz, axis=0), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        np.concatenate([p[1][1] for p in post], axis=0),
+        np.concatenate(fc, axis=0), rtol=1e-6, atol=1e-6)
+
+    with pytest.raises(ValueError, match="out of range"):
+        ex.reset_stream(3)
+
+    tr_model, tr_params, _ = _model(ar_kind="transformer")
+    tr = StreamingExtractor(tr_model, tr_params, n_streams=2)
+    with pytest.raises(NotImplementedError, match="per-stream"):
+        tr.reset_stream(0)

@@ -20,13 +20,17 @@ process), but the HOST side needs four things this module provides:
     numpy so ONE process can checkpoint/log them without dragging the
     others through a collective.
 
-Design choice: checkpoints are written by process 0 only, from host-local
-copies, with a cross-process barrier after the save. orbax CAN write
-distributed checkpoints cooperatively, but for fully-replicated trees
-(DP: everything but the batch) that buys nothing and couples every
-process to the storage path; `workdir` need only be readable by all
-processes for RESUME (a shared filesystem or an rsync step — same
-requirement the reference's torch.save story has).
+Design choice: checkpoints go through orbax COOPERATIVELY — every
+process calls save/restore on the shared workdir with the same
+host-local numpy payload (identical on every process by replication);
+orbax writes once from the primary host and synchronizes the others.
+Saves are therefore collective operations: every process must enter
+them at the same step, which is why the Trainer's preemption save runs
+behind `any_true()` flag agreement. Async saving is off under
+multi-process (an async save's background barrier from a process that
+has moved on deadlocks the rest). `workdir` must be shared (or synced)
+across processes — the same requirement the reference's torch.save
+story has.
 
 Tested in tests/test_multihost.py: a 2-process x 4-device CPU run must
 produce the EXACT loss trajectory of the single-process 8-device run
@@ -64,9 +68,21 @@ def is_main() -> bool:
 
 
 def barrier(name: str) -> None:
-    """Cross-process sync point (e.g. 'checkpoint written')."""
+    """Cross-process sync point (e.g. 'corpus generated' — writers
+    before readers; see cpc_tpu.train.cli's synthetic-data path)."""
     from jax.experimental import multihost_utils
     multihost_utils.sync_global_devices(name)
+
+
+def any_true(flag: bool) -> bool:
+    """Cross-process OR of a host-side flag. COLLECTIVE: every process
+    must call it at the same point. The Trainer uses it to agree on
+    preemption — a SIGTERM can land on a subset of hosts or straddle a
+    step boundary, and the checkpoint save it triggers is itself a
+    collective op that deadlocks unless all processes enter it."""
+    from jax.experimental import multihost_utils
+    return bool(np.asarray(
+        multihost_utils.process_allgather(np.asarray(flag))).any())
 
 
 def replicate(tree, mesh: Mesh):
@@ -91,10 +107,24 @@ def shard_batch(host_batch: np.ndarray, sharding: NamedSharding):
     replicate() for those."""
     host_batch = np.asarray(host_batch)
     gshape = host_batch.shape
-    spans = [idx[0] for idx in
-             sharding.addressable_devices_indices_map(gshape).values()]
-    lo = min((s.start or 0) for s in spans)
-    hi = max((gshape[0] if s.stop is None else s.stop) for s in spans)
+    spans = sorted(set(
+        (idx[0].start or 0,
+         gshape[0] if idx[0].stop is None else idx[0].stop)
+        for idx in
+        sharding.addressable_devices_indices_map(gshape).values()))
+    lo, hi = spans[0][0], spans[-1][1]
+    # make_array_from_process_local_data takes ONE local block per
+    # process; a mesh whose device order interleaves processes would make
+    # this process's rows non-contiguous and silently mis-assign them
+    pos = lo
+    for a, b in spans:
+        if a > pos:
+            raise ValueError(
+                f"this process's batch rows are not one contiguous span "
+                f"(gap at [{pos}, {a})): the mesh's device order "
+                f"interleaves processes; build the mesh from jax.devices() "
+                f"order (the default)")
+        pos = max(pos, b)
     if (lo, hi) == (0, gshape[0]) and active():
         raise ValueError(
             "sharding does not split the leading axis across processes; "

@@ -136,13 +136,19 @@ def main(argv=None) -> int:
 
     if args.data in ("synthetic", "synthetic-music"):
         corpus = os.path.join(args.workdir, "synthetic_corpus")
-        if not os.path.isdir(corpus):
+        from cpc_tpu.parallel import multihost
+        # multi-process: only process 0 writes the shared workdir (the
+        # isdir check is not an inter-process lock), everyone else waits
+        if not os.path.isdir(corpus) and (not multihost.active()
+                                          or multihost.is_main()):
             style = "music" if args.data.endswith("music") else "speech"
             generate_synthetic_corpus(
                 corpus, style=style,
                 num_speakers=max(8, cfg.data.batch_size),
                 files_per_speaker=3, seconds_per_file=4.0,
                 seed=cfg.train.seed)
+        if multihost.active():
+            multihost.barrier("synthetic-corpus")
     else:
         corpus = args.data
     val_corpus = args.val_data or corpus

@@ -102,7 +102,7 @@ class Trainer:
         # workdir — orbax writes replicated data from the primary host and
         # syncs the others), with async off: an async save's background
         # barrier from a process that has moved on deadlocks the rest
-        self.writer = MetricWriter(workdir if main else None)
+        self.writer = MetricWriter(workdir if main else None, echo=main)
         self.ckpt = (CheckpointManager(f"{workdir}/{cfg.train.checkpoint_dir}",
                                        cfg.train.keep_checkpoints,
                                        async_save=not self._mh)
@@ -240,7 +240,18 @@ class Trainer:
                     self.step % cfg.checkpoint_every == 0 or self.step == total):
                 self.ckpt.save(self.step, *self._ckpt_state(),
                                self.batcher.state())
-            if self.preempted:
+            preempt = self.preempted
+            if self._mh:
+                # the preemption save below is a COLLECTIVE orbax op, but
+                # SIGTERM can land on a subset of hosts or straddle a step
+                # boundary — so the decision must be collective too. Agree
+                # at log boundaries only (an allgather per step would tax
+                # every step; log_every bounds preemption latency to a few
+                # seconds of steps, well inside preemption grace periods)
+                preempt = (multihost.any_true(self.preempted)
+                           if (self.step % cfg.log_every == 0
+                               or self.step == total) else False)
+            if preempt:
                 if self.ckpt is not None and not (
                         self.step % cfg.checkpoint_every == 0
                         or self.step == total):  # not already saved above

@@ -16,6 +16,7 @@ import os
 import socket
 import subprocess
 import sys
+import threading
 
 import numpy as np
 import pytest
@@ -59,7 +60,26 @@ def _run(corpus, workdir, *, nprocs, devs_per_proc, steps, ckpt_every=1000,
         procs.append(subprocess.Popen(
             cmd, cwd=REPO, env=env, text=True,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE))
-    outs = [p.communicate(timeout=600) for p in procs]
+    # drain every process's pipes CONCURRENTLY: sequential communicate()
+    # leaves the other processes' pipes unserviced, and a full 64 KB pipe
+    # blocks its writer (whose stalled collectives then hang the job)
+    outs = [None] * len(procs)
+
+    def _drain(i, p):
+        outs[i] = p.communicate()
+
+    threads = [threading.Thread(target=_drain, args=(i, p), daemon=True)
+               for i, p in enumerate(procs)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    if any(t.is_alive() for t in threads):
+        for p in procs:
+            p.kill()
+        for t in threads:
+            t.join(timeout=30)
+        raise AssertionError(f"multihost run timed out; partial: {outs}")
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, f"proc rc={p.returncode}\n{out}\n{err}"
     lines = [json.loads(l) for l in outs[0][0].strip().splitlines()

@@ -24,6 +24,7 @@ def main() -> None:
     p.add_argument("--corpus", required=True)
     p.add_argument("--steps", type=int, required=True)
     p.add_argument("--ckpt-every", type=int, default=1000)
+    p.add_argument("--eval-every", type=int, default=10**9)
     p.add_argument("--resume", action="store_true")
     args = p.parse_args()
 
@@ -50,11 +51,13 @@ def main() -> None:
         data=dataclasses.replace(cfg.data, batch_size=8,
                                  snippet_samples=2000),
         train=dataclasses.replace(cfg.train, num_steps=args.steps,
-                                  log_every=1, eval_every=10**9,
+                                  log_every=1, eval_every=args.eval_every,
                                   checkpoint_every=args.ckpt_every),
     )
     ds = SnippetDataset(args.corpus, cfg.data.snippet_samples)
-    tr = Trainer(cfg, ds, workdir=args.workdir)
+    val_ds = (SnippetDataset(args.corpus, cfg.data.snippet_samples)
+              if args.eval_every < 10**9 else None)
+    tr = Trainer(cfg, ds, val_ds, workdir=args.workdir)
     resumed = tr.maybe_resume() if args.resume else False
     tr.train(args.steps)
     tr.close()

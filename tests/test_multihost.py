@@ -41,7 +41,7 @@ def _free_port() -> int:
 
 
 def _run(corpus, workdir, *, nprocs, devs_per_proc, steps, ckpt_every=1000,
-         resume=False):
+         eval_every=None, resume=False):
     """Launch `nprocs` driver processes; return pid-0's final JSON line."""
     port = _free_port()
     env = dict(os.environ)
@@ -55,6 +55,8 @@ def _run(corpus, workdir, *, nprocs, devs_per_proc, steps, ckpt_every=1000,
                "--nprocs", str(nprocs), "--port", str(port),
                "--workdir", workdir, "--corpus", corpus,
                "--steps", str(steps), "--ckpt-every", str(ckpt_every)]
+        if eval_every is not None:
+            cmd += ["--eval-every", str(eval_every)]
         if resume:
             cmd.append("--resume")
         procs.append(subprocess.Popen(
@@ -87,12 +89,12 @@ def _run(corpus, workdir, *, nprocs, devs_per_proc, steps, ckpt_every=1000,
     return lines[-1]
 
 
-def _losses(workdir):
+def _losses(workdir, prefix="train"):
     out = {}
     with open(os.path.join(workdir, "metrics.jsonl")) as f:
         for line in f:
             rec = json.loads(line)
-            if rec.get("prefix") == "train" and "loss" in rec:
+            if rec.get("prefix") == prefix and "loss" in rec:
                 out[rec["step"]] = rec["loss"]
     return out
 
@@ -101,8 +103,10 @@ def test_two_process_matches_single_process(corpus, tmp_path):
     wd1 = str(tmp_path / "single")
     wd2 = str(tmp_path / "multi")
 
-    done1 = _run(corpus, wd1, nprocs=1, devs_per_proc=8, steps=8)
-    done2 = _run(corpus, wd2, nprocs=2, devs_per_proc=4, steps=8)
+    done1 = _run(corpus, wd1, nprocs=1, devs_per_proc=8, steps=8,
+                 eval_every=4)
+    done2 = _run(corpus, wd2, nprocs=2, devs_per_proc=4, steps=8,
+                 eval_every=4)
     assert done1["done"] == 8
     assert done2["done"] == 8 and done2["procs"] == 2 and done2["devices"] == 8
 
@@ -114,6 +118,12 @@ def test_two_process_matches_single_process(corpus, tmp_path):
         # reduction-order noise but nothing more
         np.testing.assert_allclose(l2[step], l1[step], rtol=1e-5,
                                    err_msg=f"step {step}")
+    # the validation pass shards its batches across processes too
+    v1, v2 = _losses(wd1, "val"), _losses(wd2, "val")
+    assert set(v1) == set(v2) == {4, 8}
+    for step in v1:
+        np.testing.assert_allclose(v2[step], v1[step], rtol=1e-5,
+                                   err_msg=f"val step {step}")
 
 
 def test_two_process_checkpoint_resume(corpus, tmp_path):

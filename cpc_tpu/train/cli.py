@@ -12,6 +12,7 @@ import os
 from cpc_tpu.config import presets
 from cpc_tpu.data.dataset import SnippetDataset
 from cpc_tpu.data.synthetic import generate_synthetic_corpus
+from cpc_tpu.parallel import multihost
 from cpc_tpu.train.trainer import Trainer
 
 
@@ -95,7 +96,6 @@ def main(argv=None) -> int:
     if args.distributed or args.coordinator is not None:
         # before ANY jax device use: the Trainer's mesh must see the
         # GLOBAL device set
-        from cpc_tpu.parallel import multihost
         multihost.initialize(args.coordinator, args.num_processes,
                              args.process_id)
     saved = os.path.join(args.workdir, "config.json")
@@ -136,7 +136,6 @@ def main(argv=None) -> int:
 
     if args.data in ("synthetic", "synthetic-music"):
         corpus = os.path.join(args.workdir, "synthetic_corpus")
-        from cpc_tpu.parallel import multihost
         # multi-process: only process 0 writes the shared workdir (the
         # isdir check is not an inter-process lock), everyone else waits
         if not os.path.isdir(corpus) and (not multihost.active()

@@ -126,14 +126,10 @@ class Trainer:
         """Restore latest checkpoint if present; returns True if resumed."""
         if self.ckpt is None:
             return False
-        if self._mh:
-            # checkpoints hold host-local numpy (see _ckpt_state); restore
-            # against numpy templates on every process, then re-replicate
-            tpl = (multihost.host_local(self.params),
-                   multihost.host_local(self.opt_state))
-        else:
-            tpl = (self.params, self.opt_state)
-        got = self.ckpt.restore_latest(*tpl)
+        # under multi-process the checkpoint payload is host-local numpy
+        # (see _ckpt_state), so restore against matching templates on
+        # every process, then re-replicate
+        got = self.ckpt.restore_latest(*self._ckpt_state())
         if got is None:
             return False
         self.params, self.opt_state, self.step, batcher_state = got
@@ -147,6 +143,13 @@ class Trainer:
             self.opt_state = jax.device_put(self.opt_state, rep)
         self.batcher.restore(batcher_state)
         return True
+
+    def _stage(self, host_batch):
+        """Host batch -> device array under the trainer's sharding (each
+        process contributes its own rows under multi-process)."""
+        if self._mh:
+            return multihost.shard_batch(host_batch, self._sharding)
+        return to_device(host_batch, self._sharding)
 
     def _ckpt_state(self):
         """(params, opt_state) as the checkpoint payload: host-local numpy
@@ -202,10 +205,7 @@ class Trainer:
                    if needs_rng(self.cfg) else None)
         while self.step < total:
             _, _, host_batch = next(it)
-            if self._mh:
-                batch = multihost.shard_batch(host_batch, self._sharding)
-            else:
-                batch = to_device(host_batch, self._sharding)
+            batch = self._stage(host_batch)
             if aug_key is not None:
                 # per-step key keeps augmentation reproducible and
                 # resume-exact (step count is checkpointed)
@@ -273,10 +273,7 @@ class Trainer:
         for i, (_, _, host_batch) in enumerate(self.val_batcher.one_epoch()):
             if i >= max_batches:
                 break
-            if self._mh:
-                batch = multihost.shard_batch(host_batch, self._sharding)
-            else:
-                batch = to_device(host_batch, self._sharding)
+            batch = self._stage(host_batch)
             if self._val_corpus is not None:
                 m = self.steps.eval_step(self.params, self._val_corpus,
                                          batch)

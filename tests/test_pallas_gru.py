@@ -130,3 +130,30 @@ def test_multilayer_pallas_parity():
     np.testing.assert_allclose(np.asarray(pal.apply(params, x)),
                                np.asarray(ref.apply(params, x)),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_wide_hidden_parity():
+    # H=512 is the dynamics-study width lever (--d-ar 512): pin the kernel
+    # math at a hidden size twice the baseline before burning chip hours
+    # on it. Tiny B/T keeps interpret-mode cost negligible.
+    rng = np.random.default_rng(13)
+    B, T, D, H = 2, 5, 8, 512
+    x = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+    ref = GRU(hidden_size=H)
+    pal = GRU(hidden_size=H, use_pallas=True)
+    params = ref.init(jax.random.key(2), x)
+    np.testing.assert_allclose(np.asarray(pal.apply(params, x)),
+                               np.asarray(ref.apply(params, x)),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(m):
+        def f(p, xx):
+            out = m.apply(p, xx)
+            return jnp.sum(out * jnp.sin(out))
+        return f
+
+    gr = jax.grad(loss(ref))(params, x)["params"]["layer0"]
+    gp = jax.grad(loss(pal))(params, x)["params"]["layer0"]
+    for k in ("wi", "bi", "wh", "bh"):
+        np.testing.assert_allclose(np.asarray(gp[k]), np.asarray(gr[k]),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)

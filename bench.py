@@ -168,7 +168,33 @@ def _host_in_the_loop(cfg, steps, params, opt_state, audio_sec_per_batch,
     return iters * audio_sec_per_batch / dt / n_chips
 
 
+def _wait_for_relay(deadline_s: float = 900.0) -> bool:
+    """Bounded wait for the axon tunnel's local endpoint. The relay can die
+    mid-session (observed: >1 h outage); a client that proceeds anyway
+    blocks FOREVER inside device discovery — its internal dial loop never
+    surfaces the refused connection as an exception. Probing the TCP port
+    first turns an eternal silent hang into a bounded, honest failure."""
+    import socket
+    t0 = time.time()
+    while True:
+        try:
+            socket.create_connection(("127.0.0.1", 8083), timeout=5).close()
+            return True
+        except OSError:
+            if time.time() - t0 >= deadline_s:
+                return False
+            time.sleep(15)
+
+
 if __name__ == "__main__":
+    if os.environ.get("PALLAS_AXON_POOL_IPS") and not _wait_for_relay():
+        print(json.dumps({
+            "metric": "cpc_pretrain_throughput", "value": 0.0,
+            "unit": "audio-sec/sec/chip", "vs_baseline": 0.0,
+            "error": "axon relay unreachable for 15 min (tunnel down; "
+                     "see CLAUDE.md 'the axon relay can DIE mid-run')",
+        }))
+        sys.exit(1)
     # The TPU is single-claim: if another process (a finishing probe or
     # study run) still holds it, backend init fails transiently. jax caches
     # a failed init for the life of the process, so retry by re-exec'ing

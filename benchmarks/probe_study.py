@@ -140,6 +140,14 @@ def main() -> None:
                         "doubling snippet length so audio/step and the "
                         "B*T all_steps pool stay constant across a "
                         "context-scaling comparison)")
+    p.add_argument("--d-ar", type=int, default=None,
+                   help="override gar width (GRU hidden / transformer "
+                        "d_model; baseline 256). The model-width lever of "
+                        "the dynamics study: more context state for the "
+                        "same audio")
+    p.add_argument("--d-enc", type=int, default=None,
+                   help="override encoder width: every conv channel AND the "
+                        "latent dim d_enc (baseline 512)")
     p.add_argument("--device-corpus", action="store_true",
                    help="HBM-resident corpus + on-device batch gather: no "
                         "per-step host transfers (the axon tunnel retains "
@@ -172,6 +180,17 @@ def main() -> None:
                                   log_every=200, eval_every=10**9,
                                   checkpoint_every=2000),
     )
+    if args.d_ar or args.d_enc:
+        mdl = cfg.model
+        if args.d_ar:
+            mdl = dataclasses.replace(mdl, ar=dataclasses.replace(
+                mdl.ar, d_ar=args.d_ar))
+        if args.d_enc:
+            enc = mdl.encoder
+            mdl = dataclasses.replace(mdl, encoder=dataclasses.replace(
+                enc, channels=tuple(args.d_enc for _ in enc.channels),
+                d_enc=args.d_enc))
+        cfg = dataclasses.replace(cfg, model=mdl)
     if args.negatives:
         # fuse_heads is same_step-only; make_step_fns falls back to the
         # (streaming Pallas) all-steps path automatically

@@ -13,6 +13,7 @@ from cpc_tpu.config import presets
 from cpc_tpu.data.dataset import SnippetDataset
 from cpc_tpu.data.synthetic import generate_synthetic_corpus
 from cpc_tpu.parallel import multihost
+from cpc_tpu.train import supervisor
 from cpc_tpu.train.trainer import Trainer
 
 
@@ -66,6 +67,24 @@ def build_argparser() -> argparse.ArgumentParser:
                         "negative pool)")
     p.add_argument("--resume", action="store_true",
                    help="resume from latest checkpoint in workdir")
+    p.add_argument("--supervise", action="store_true",
+                   help="run training as a supervised child process: on a "
+                        "crash (nonzero exit) OR a hang (workdir heartbeat "
+                        "stale for --stale-after; e.g. a dead device tunnel "
+                        "blocks forever with zero CPU) the child is "
+                        "terminated and relaunched with --resume. Restart "
+                        "budget counts CONSECUTIVE no-progress failures "
+                        "(any new checkpoint resets it)")
+    p.add_argument("--stale-after", type=float,
+                   default=supervisor.DEFAULT_STALE_AFTER,
+                   help="seconds of workdir silence (no metrics.jsonl / "
+                        "checkpoint writes) before a supervised child is "
+                        "declared hung; must exceed the longest legitimate "
+                        "quiet period (first compile, validation pass)")
+    p.add_argument("--max-restarts", type=int,
+                   default=supervisor.DEFAULT_MAX_RESTARTS,
+                   help="consecutive no-progress restarts before the "
+                        "supervisor gives up")
     p.add_argument("--distributed", action="store_true",
                    help="multi-process (multi-host) run: jax.distributed "
                         "bring-up with platform autodetection (TPU pods "
@@ -93,6 +112,10 @@ def main(argv=None) -> int:
                                          or args.process_id is None):
         raise SystemExit("--coordinator requires --num-processes and "
                          "--process-id")
+    if args.supervise:
+        # re-exec this same command under crash/hang supervision; the child
+        # runs the normal path below (no --supervise)
+        return supervisor.supervise_cli(args, argv)
     if args.distributed or args.coordinator is not None:
         # before ANY jax device use: the Trainer's mesh must see the
         # GLOBAL device set

@@ -53,13 +53,16 @@ def probe_milestone(model, params, probe_ds, *, normalize: bool,
     # speaker posterior a recurrent gar accumulates); mean pooling
     # dilutes it with uninformed early frames
     last = pool_time(frames, "last")
+    # max pooling keys on the strongest local evidence anywhere in the
+    # trajectory — separates "distributed but peaky" from "weak everywhere"
+    mx = pool_time(frames, "max")
     del frames
     n_spk = probe_ds.num_speakers
     # HEADLINE: file-disjoint split — eval snippets come from utterances
     # the probe never saw. The snippet-level split leaks per-utterance
     # signatures (each file draws its own f0), so it overstates
     # speaker-ID; reported alongside for comparison.
-    file_accs, last_accs, snip_accs = [], [], []
+    file_accs, last_accs, max_accs, snip_accs = [], [], [], []
     file_eval_ns, snip_eval_ns = [], []
     for ps in range(probe_seeds):
         spk_f = probe_speaker_features(pooled, ylab, files, n_spk,
@@ -68,6 +71,9 @@ def probe_milestone(model, params, probe_ds, *, normalize: bool,
         file_eval_ns.append(spk_f.num_eval)
         last_accs.append(probe_speaker_features(
             last, ylab, files, n_spk, steps=400, seed=ps,
+            split="file").accuracy)
+        max_accs.append(probe_speaker_features(
+            mx, ylab, files, n_spk, steps=400, seed=ps,
             split="file").accuracy)
         spk_s = probe_speaker_features(pooled[:800], ylab[:800],
                                        files[:800], n_spk,
@@ -93,6 +99,8 @@ def probe_milestone(model, params, probe_ds, *, normalize: bool,
             "speaker_file_acc_std": round(float(np.std(file_accs)), 4),
             "speaker_file_last_acc": round(float(np.mean(last_accs)), 4),
             "speaker_file_last_acc_std": round(float(np.std(last_accs)), 4),
+            "speaker_file_max_acc": round(float(np.mean(max_accs)), 4),
+            "speaker_file_max_acc_std": round(float(np.std(max_accs)), 4),
             "speaker_file_eval_n": int(np.mean(file_eval_ns)),
             "speaker_acc": round(float(np.mean(snip_accs)), 4),
             "speaker_acc_std": round(float(np.std(snip_accs)), 4),

@@ -52,20 +52,28 @@ def fmt_pct(x, std=None):
 
 
 def markdown_table(rows):
-    out = ["| steps | file-split speaker | utt-pooled | last-frame |"
-           " snippet-split | phone (file) |",
-           "|---|---|---|---|---|---|"]
+    # max-pool column only exists in batteries run after it was added;
+    # older rows render without it
+    has_max = any("speaker_file_max_acc" in d for d in rows)
+    hdr = ["steps", "file-split speaker", "utt-pooled", "last-frame"]
+    if has_max:
+        hdr.append("max-pool")
+    hdr += ["snippet-split", "phone (file)"]
+    out = ["| " + " | ".join(hdr) + " |", "|" + "---|" * len(hdr)]
     for d in rows:
-        out.append(
-            "| {step:,} | {fs} | {utt} | {last} | {snip} | {ph} |".format(
-                step=d["step"],
-                fs=fmt_pct(d["speaker_file_acc"],
-                           d.get("speaker_file_acc_std")),
-                utt=fmt_pct(d["speaker_utt_acc"]),
-                last=fmt_pct(d["speaker_file_last_acc"],
-                             d.get("speaker_file_last_acc_std")),
-                snip=fmt_pct(d["speaker_acc"]),
-                ph=fmt_pct(d["phone_file_acc"])).replace(",", " "))
+        cells = [f"{d['step']:,}".replace(",", " "),
+                 fmt_pct(d["speaker_file_acc"],
+                         d.get("speaker_file_acc_std")),
+                 fmt_pct(d["speaker_utt_acc"]),
+                 fmt_pct(d["speaker_file_last_acc"],
+                         d.get("speaker_file_last_acc_std"))]
+        if has_max:
+            cells.append(
+                fmt_pct(d["speaker_file_max_acc"],
+                        d.get("speaker_file_max_acc_std"))
+                if "speaker_file_max_acc" in d else "—")
+        cells += [fmt_pct(d["speaker_acc"]), fmt_pct(d["phone_file_acc"])]
+        out.append("| " + " | ".join(cells) + " |")
     return "\n".join(out)
 
 

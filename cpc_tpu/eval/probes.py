@@ -172,11 +172,20 @@ def extract_speaker_frame_features(
 
 
 def pool_time(feats: np.ndarray, time_pool: str) -> np.ndarray:
+    """'mean' averages the trajectory; 'last' reads the final frame (where
+    a recurrent gar would accumulate an integrated posterior); 'max' takes
+    the per-dimension maximum over time — it keys on the strongest LOCAL
+    evidence anywhere in the trajectory, so it separates "evidence is
+    distributed but peaky" from "evidence is weak everywhere" when mean
+    and last disagree (RESULTS.md dynamics study)."""
     if time_pool == "mean":
         return feats.mean(axis=1)
     if time_pool == "last":
         return feats[:, -1]
-    raise ValueError(f"time_pool must be 'mean'|'last', got {time_pool!r}")
+    if time_pool == "max":
+        return feats.max(axis=1)
+    raise ValueError(
+        f"time_pool must be 'mean'|'last'|'max', got {time_pool!r}")
 
 
 def extract_speaker_features(

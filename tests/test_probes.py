@@ -55,6 +55,17 @@ def test_speaker_probe_utterance_pooling(setup):
                           pool="file")
 
 
+def test_pool_time_readouts():
+    """mean/last/max read the documented frames; unknown values raise."""
+    from cpc_tpu.eval.probes import pool_time
+    feats = np.arange(2 * 3 * 4, dtype=np.float32).reshape(2, 3, 4)
+    np.testing.assert_allclose(pool_time(feats, "mean"), feats.mean(1))
+    np.testing.assert_array_equal(pool_time(feats, "last"), feats[:, -1])
+    np.testing.assert_array_equal(pool_time(feats, "max"), feats.max(1))
+    with pytest.raises(ValueError, match="time_pool"):
+        pool_time(feats, "median")
+
+
 def test_speaker_probe_file_disjoint_split(setup):
     """split='file' must put every snippet of a file on one side only."""
     from cpc_tpu.eval import probes as probes_mod

@@ -42,6 +42,12 @@ def main(argv=None) -> int:
                         "holds out whole utterances — the honest protocol "
                         "(the snippet split can score by per-recording "
                         "signatures; see RESULTS.md probe study)")
+    p.add_argument("--time-pool", default="mean",
+                   choices=["mean", "last", "max"],
+                   help="speaker-probe readout over the snippet's frames: "
+                        "mean of the trajectory, final frame (integrated "
+                        "evidence in a recurrent gar), or per-dim max "
+                        "(strongest local evidence)")
     p.add_argument("--steps", type=int, default=300)
     p.add_argument("--max-snippets", type=int, default=512)
     p.add_argument("--extract", default=None, metavar="AUDIO_FILE",
@@ -206,7 +212,7 @@ def main(argv=None) -> int:
                               steps=args.steps,
                               max_snippets=args.max_snippets,
                               normalize=cfg.data.normalize,
-                              split=args.split)
+                              split=args.split, time_pool=args.time_pool)
         results["speaker_probe"] = dataclasses.asdict(r)
     if args.probe in ("phone", "both"):
         r = run_phone_probe(model, params, ds, feature=args.feature,

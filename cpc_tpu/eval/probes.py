@@ -126,9 +126,12 @@ def run_speaker_probe(
     model: CPCModel, params, dataset: ProbeDataset, *,
     feature: str = "c", max_snippets: int = 512, eval_frac: float = 0.25,
     steps: int = 300, seed: int = 0, normalize: bool = True,
-    pool: str = "snippet", split: str = "snippet",
+    pool: str = "snippet", split: str = "snippet", time_pool: str = "mean",
 ) -> LinearProbeResult:
-    """Mean-pooled features -> speaker id (BASELINE.json:11).
+    """Time-pooled features -> speaker id (BASELINE.json:11).
+
+    time_pool picks the readout over the snippet's frames (see pool_time:
+    mean | last | max).
 
     pool='snippet' (default) classifies each 1.28 s snippet's mean-pooled
     feature; pool='utterance' averages all of a source file's snippet
@@ -146,7 +149,7 @@ def run_speaker_probe(
     construction."""
     pooled, y, files = extract_speaker_features(
         model, params, dataset, feature=feature, max_snippets=max_snippets,
-        normalize=normalize)
+        normalize=normalize, time_pool=time_pool)
     return probe_speaker_features(
         pooled, y, files, dataset.num_speakers, eval_frac=eval_frac,
         steps=steps, seed=seed, pool=pool, split=split, feature=feature)

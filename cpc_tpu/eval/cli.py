@@ -42,6 +42,16 @@ def main(argv=None) -> int:
                         "holds out whole utterances — the honest protocol "
                         "(the snippet split can score by per-recording "
                         "signatures; see RESULTS.md probe study)")
+    p.add_argument("--battery", action="store_true",
+                   help="run the FULL probe battery instead of single "
+                        "probes: file-disjoint speaker under mean/last/max "
+                        "pooling with multi-seed error bars, utterance "
+                        "pooling, the snippet split for leak-size "
+                        "comparison, and phone under both splits — the "
+                        "protocol every RESULTS.md study row uses; prints "
+                        "one JSON row")
+    p.add_argument("--probe-seeds", type=int, default=3,
+                   help="split seeds per battery column (mean ± std)")
     p.add_argument("--time-pool", default="mean",
                    choices=["mean", "last", "max"],
                    help="speaker-probe readout over the snippet's frames: "
@@ -205,6 +215,15 @@ def main(argv=None) -> int:
     else:
         ds = ProbeDataset(corpus, cfg.data.snippet_samples,
                           cfg.data.snippet_samples, cfg.data.sample_rate)
+
+    if args.battery:
+        from cpc_tpu.eval.battery import probe_milestone
+        row = {"checkpoint_step": step,
+               **probe_milestone(model, params, ds,
+                                 normalize=cfg.data.normalize,
+                                 probe_seeds=args.probe_seeds)}
+        print(json.dumps(row))
+        return 0
 
     results = {"checkpoint_step": step, "feature": args.feature}
     if args.probe in ("speaker", "both"):

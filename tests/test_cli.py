@@ -68,6 +68,18 @@ def test_config_roundtrip_and_eval_autoload(tmp_path):
     res = json.loads(out.getvalue().strip().splitlines()[-1])
     assert "speaker_probe" in res
 
+    # --battery runs the full study protocol (cpc_tpu.eval.battery) and
+    # prints one row with every readout x split column
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        rc = eval_main([f"--workdir={wd}", "--battery", "--probe-seeds=1"])
+    assert rc == 0
+    row = json.loads(out.getvalue().strip().splitlines()[-1])
+    for col in ("speaker_file_acc", "speaker_file_last_acc",
+                "speaker_file_max_acc", "speaker_utt_acc", "speaker_acc",
+                "phone_file_acc", "phone_snip_acc"):
+        assert col in row, col
+
 
 def test_train_cli_distributed_flags(tmp_path, monkeypatch):
     """--coordinator/--distributed wire into multihost.initialize BEFORE the

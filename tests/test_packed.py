@@ -141,3 +141,43 @@ def test_trainer_over_packed_end_to_end(corpora, tmp_path):
     assert tr2.maybe_resume()
     assert tr2.step == 12
     tr2.close()
+
+
+def test_packed_composes_with_device_corpus(corpora):
+    """--packed + --device-corpus: load_device_corpus is duck-typed over
+    snippet_int16, so the memmap corpus uploads as the HBM-resident array
+    and a train step runs on device-gathered batches."""
+    import dataclasses
+
+    from cpc_tpu.config import (ArConfig, CPCConfig, DataConfig,
+                                EncoderConfig, LossConfig, ModelConfig,
+                                TrainConfig)
+    import jax
+
+    from cpc_tpu.data.loader import load_device_corpus
+    from cpc_tpu.parallel.mesh import make_mesh
+    from cpc_tpu.train.trainer import Trainer
+
+    _, packed, _ = corpora
+    ds = PackedSnippetDataset(packed, 2000)
+    dev = load_device_corpus(ds)
+    assert dev.shape == (len(ds), 2000) and str(dev.dtype) == "int16"
+    np.testing.assert_array_equal(np.asarray(dev[3]), ds.snippet_int16(3))
+
+    cfg = CPCConfig(
+        model=ModelConfig(
+            encoder=EncoderConfig(channels=(16, 16), kernels=(10, 8),
+                                  strides=(5, 4), d_enc=16),
+            ar=ArConfig(d_ar=8),
+            loss=LossConfig(prediction_steps=2),
+        ),
+        data=DataConfig(batch_size=8, snippet_samples=2000, prefetch=1,
+                        device_corpus=True),
+        train=TrainConfig(num_steps=3, log_every=1000, eval_every=10**9,
+                          checkpoint_every=10**9),
+    )
+    mesh1 = make_mesh((1,), ("data",), devices=jax.devices()[:1])
+    tr = Trainer(cfg, ds, workdir=None, mesh=mesh1)
+    m = tr.train()
+    tr.close()
+    assert tr.step == 3 and np.isfinite(float(m["loss"]))

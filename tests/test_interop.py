@@ -97,6 +97,47 @@ def test_forward_parity_batchnorm():
     _forward_parity(bn=True)
 
 
+def test_forward_parity_multilayer_gru_biasfree_conv():
+    """2-layer torch GRU (weight_ih_l1 routing) + bias-free convs (zero-
+    bias synthesis) still give forward equality."""
+    cfg = _cfg()
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, ar=dataclasses.replace(cfg.model.ar, num_layers=2)))
+
+    class _T2(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            convs = []
+            c_in = 1
+            for ch, k, s in zip(CH, KS, ST):
+                convs.append(torch.nn.Conv1d(c_in, ch, k, stride=s,
+                                             bias=False))
+                c_in = ch
+            self.convs = torch.nn.ModuleList(convs)
+            self.gar = torch.nn.GRU(D_ENC, D_AR, num_layers=2,
+                                    batch_first=True)
+            self.heads = torch.nn.Linear(D_AR, K * D_ENC, bias=False)
+
+        def forward(self, x):
+            h = x[:, None, :]
+            for conv in self.convs:
+                h = torch.relu(conv(h))
+            z = h.transpose(1, 2)
+            c, _ = self.gar(z)
+            B, T, _ = c.shape
+            return z, c, self.heads(c).reshape(B, T, K, D_ENC)
+
+    tm = _T2()
+    x = np.random.default_rng(2).standard_normal((4, 2000)).astype(np.float32)
+    with torch.no_grad():
+        zt, ct, pt = (a.numpy() for a in tm(torch.from_numpy(x)))
+    params = params_from_torch(tm.state_dict(), cfg)
+    out = CPCModel(cfg.model).apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out.c), ct, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.preds), pt, rtol=2e-4,
+                               atol=2e-5)
+
+
 def test_separate_head_matrices_import():
     """K separate W_k Linears == the fused head layout, element for element."""
     cfg = _cfg()

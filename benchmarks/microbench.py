@@ -87,14 +87,44 @@ def bench_conv(B, tz=64):
             "pallas_ms": round(pal, 3), "speedup": round(ref / pal, 2)}
 
 
+def bench_attention(B, T=1024, H=8, d_model=256):
+    """Transformer-gar attention at context-study length: XLA fused-softmax
+    (materializes B*H*T^2 scores) vs the Pallas flash kernel."""
+    from cpc_tpu.config import ArConfig
+    from cpc_tpu.models.transformer import CausalTransformer
+    rng = np.random.default_rng(0)
+    z = jnp.asarray(rng.standard_normal((B, T, 512)) * 0.1, jnp.bfloat16)
+    common = dict(kind="transformer", d_ar=d_model, num_layers=2,
+                  num_heads=H, max_len=T)
+    ref_m = CausalTransformer(ArConfig(**common), dtype=jnp.bfloat16)
+    pal_m = CausalTransformer(ArConfig(attn_impl="flash", **common),
+                              dtype=jnp.bfloat16)
+    params = ref_m.init(jax.random.key(0), z)
+    g_ref = jax.jit(jax.grad(
+        lambda p, a: jnp.sum(ref_m.apply(p, a).astype(jnp.float32) ** 2)))
+    g_pal = jax.jit(jax.grad(
+        lambda p, a: jnp.sum(pal_m.apply(p, a).astype(jnp.float32) ** 2)))
+    ref = timeit(lambda: first(g_ref(params, z)), n=10)
+    pal = timeit(lambda: first(g_pal(params, z)), n=10)
+    return {"op": "attention_fwd_bwd", "B": B, "T": T,
+            "xla_ms": round(ref, 3), "pallas_ms": round(pal, 3),
+            "speedup": round(ref / pal, 2)}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--seq", type=int, default=1024,
+                    help="attention sequence length (attention op only)")
     ap.add_argument("--ops", default="infonce,gru",
-                    help="comma list of infonce,gru,conv (conv compile is "
-                         "slow: ~2 min)")
+                    help="comma list of infonce,gru,conv,attention (conv "
+                         "compile is slow: ~2 min)")
     args = ap.parse_args()
     for op in args.ops.split(","):
+        if op.strip() == "attention":
+            print(json.dumps(bench_attention(args.batch, T=args.seq)),
+                  flush=True)
+            continue
         fn = {"infonce": bench_infonce, "gru": bench_gru,
               "conv": bench_conv}[op.strip()]
         print(json.dumps(fn(args.batch)), flush=True)

@@ -82,6 +82,11 @@ class ArConfig:
     mlp_ratio: int = 4
     dropout: float = 0.0
     max_len: int = 2048  # positional table size
+    # 'xla' (default; fused-softmax O(T^2) scores — right answer at the
+    # reference's ~128-latent snippets) | 'flash' (Pallas streaming-softmax
+    # kernel, ops/attention_pallas.py — the context-scaling regime where
+    # B*H*T^2 score materialization stops fitting; requires dropout=0.0)
+    attn_impl: str = "xla"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -18,6 +18,14 @@ nn.compact auto-numbering used to generate (LayerNorm_0,
 MultiHeadDotProductAttention_0, ...) so existing checkpoints and golden
 fixtures load unchanged; setup-style is required for __call__ and extend()
 to share parameters.
+
+Long context (ar.attn_impl='flash'): at the context-scaling study's snippet
+lengths (T >= 1024, RESULTS.md runs 4-5) XLA's attention materializes
+B*H*T^2 scores per layer; `ops/attention_pallas.py` streams them flash-style
+instead. FlashSelfAttention carries the exact flax-MHA parameter tree
+(query/key/value/out DenseGenerals under the same module name), so the same
+checkpoint loads under either impl — and the decode/KV-cache twin keeps the
+flax path regardless (one new latent per step has no score matrix to fuse).
 """
 
 from __future__ import annotations
@@ -31,6 +39,46 @@ from flax import linen as nn
 from cpc_tpu.config import ArConfig
 
 
+class FlashSelfAttention(nn.Module):
+    """Drop-in causal self-attention over the Pallas flash kernel.
+
+    Parameter tree is identical to flax's MultiHeadDotProductAttention
+    (query/key/value DenseGenerals with (H, Dh) features + the merged 'out'
+    projection), so checkpoints move freely between attn_impl settings.
+    Causality comes from the kernel itself — no mask tensor is ever built.
+    """
+
+    num_heads: int
+    d_model: int
+    dtype: Any
+    param_dtype: Any
+
+    def setup(self):
+        if self.d_model % self.num_heads:
+            raise ValueError(f"d_ar {self.d_model} not divisible by "
+                             f"num_heads {self.num_heads}")
+        head_dim = self.d_model // self.num_heads
+        dg = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        self.query = nn.DenseGeneral((self.num_heads, head_dim),
+                                     name="query", **dg)
+        self.key = nn.DenseGeneral((self.num_heads, head_dim),
+                                   name="key", **dg)
+        self.value = nn.DenseGeneral((self.num_heads, head_dim),
+                                     name="value", **dg)
+        self.out = nn.DenseGeneral(self.d_model, axis=(-2, -1),
+                                   name="out", **dg)
+
+    def __call__(self, inputs_q, inputs_kv=None, mask=None,
+                 deterministic: bool = True):
+        from cpc_tpu.ops.attention_pallas import flash_causal_mha
+        if inputs_kv is None:
+            inputs_kv = inputs_q
+        q = self.query(inputs_q)   # (B, T, H, Dh)
+        k = self.key(inputs_kv)
+        v = self.value(inputs_kv)
+        return self.out(flash_causal_mha(q, k, v))
+
+
 class _Block(nn.Module):
     d_model: int
     num_heads: int
@@ -39,19 +87,29 @@ class _Block(nn.Module):
     dtype: Any
     param_dtype: Any
     decode: bool = False
+    attn_impl: str = "xla"
 
     def setup(self):
         self.ln_attn = nn.LayerNorm(dtype=self.dtype,
                                     param_dtype=self.param_dtype,
                                     name="LayerNorm_0")
-        self.attn = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads,
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-            dropout_rate=self.dropout,
-            decode=self.decode,
-            name="MultiHeadDotProductAttention_0",
-        )
+        if self.attn_impl == "flash" and not self.decode:
+            self.attn = FlashSelfAttention(
+                num_heads=self.num_heads,
+                d_model=self.d_model,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="MultiHeadDotProductAttention_0",
+            )
+        else:
+            self.attn = nn.MultiHeadDotProductAttention(
+                num_heads=self.num_heads,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                dropout_rate=self.dropout,
+                decode=self.decode,
+                name="MultiHeadDotProductAttention_0",
+            )
         self.drop = nn.Dropout(self.dropout)
         self.ln_mlp = nn.LayerNorm(dtype=self.dtype,
                                    param_dtype=self.param_dtype,
@@ -83,6 +141,14 @@ class CausalTransformer(nn.Module):
 
     def setup(self):
         cfg = self.config
+        if cfg.attn_impl not in ("xla", "flash"):
+            raise ValueError(
+                f"ar.attn_impl must be 'xla'|'flash', got {cfg.attn_impl!r}")
+        if cfg.attn_impl == "flash" and cfg.dropout > 0:
+            raise ValueError(
+                "ar.attn_impl='flash' does not implement attention-weight "
+                "dropout (flax's MHA semantics); use attn_impl='xla' with "
+                "dropout, or dropout=0.0 with flash")
         self.in_proj = nn.Dense(cfg.d_ar, dtype=self.dtype,
                                 param_dtype=self.param_dtype, name="in_proj")
         self.pos_embed = self.param(
@@ -98,6 +164,7 @@ class CausalTransformer(nn.Module):
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 decode=self.decode,
+                attn_impl=cfg.attn_impl,
                 name=f"block{i}",
             )
             for i in range(cfg.num_layers)
@@ -120,7 +187,9 @@ class CausalTransformer(nn.Module):
         x = self.in_proj(z.astype(self.dtype))
         x = x + self.pos_embed[:T].astype(self.dtype)[None]
         x = self.in_drop(x, deterministic=deterministic)
-        mask = nn.make_causal_mask(jnp.ones((B, T)), dtype=bool)
+        # flash is causal in-kernel; don't build the (B, 1, T, T) mask tensor
+        mask = (None if cfg.attn_impl == "flash"
+                else nn.make_causal_mask(jnp.ones((B, T)), dtype=bool))
         for blk in self.blocks:
             x = blk(x, mask, deterministic=deterministic)
         return self.final_norm(x)

@@ -69,6 +69,12 @@ def main() -> None:
                         "doubling snippet length so audio/step and the "
                         "B*T all_steps pool stay constant across a "
                         "context-scaling comparison)")
+    p.add_argument("--ar", default=None, choices=["gru", "transformer"],
+                   help="context-network family (default: the tpu_fast "
+                        "preset's Pallas GRU). transformer = 2-layer causal "
+                        "blocks over the flash-attention kernel "
+                        "(ops/attention_pallas.py) — the architecture axis "
+                        "of the dynamics study at long context")
     p.add_argument("--d-ar", type=int, default=None,
                    help="override gar width (GRU hidden / transformer "
                         "d_model; baseline 256). The model-width lever of "
@@ -109,6 +115,13 @@ def main() -> None:
                                   log_every=200, eval_every=10**9,
                                   checkpoint_every=2000),
     )
+    if args.ar == "transformer":
+        from cpc_tpu.config import ArConfig
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, ar=ArConfig(kind="transformer",
+                                   d_ar=cfg.model.ar.d_ar,
+                                   num_layers=2, num_heads=8, max_len=4096,
+                                   attn_impl="flash")))
     if args.d_ar or args.d_enc:
         mdl = cfg.model
         if args.d_ar:

@@ -44,6 +44,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 #   GRU input proj wi (D, 3H)             -> row parallel (contraction over
 #                                            the sharded D dim -> psum)
 #   prediction heads (d_ar, K*C)          -> column parallel on K*C
+#   transformer gar (Megatron layout): q/k/v kernels (d_ar, H, Dh) shard
+#   over heads (attention is head-local, so GSPMD keeps the whole
+#   softmax(QK^T)V block shard-resident); the 'out' kernel (H, Dh, d_ar)
+#   contracts over the sharded heads -> psum closes the block. MLP: fc1
+#   column parallel, fc2 row parallel — one psum per block, the classic
+#   pairing. NOTE: the TP path runs attn_impl='xla' semantics — GSPMD can
+#   partition XLA einsums, not a Pallas call (flash is the long-context
+#   single-chip tool; TP is the wide-model tool).
 _RULES: Tuple[Tuple[str, int, P], ...] = (
     (r"params/prediction_heads/kernel$", 2, P(None, "model")),
     (r"params/encoder/conv\d+/kernel$", 3, P(None, None, "model")),
@@ -51,6 +59,12 @@ _RULES: Tuple[Tuple[str, int, P], ...] = (
     (r"params/encoder/conv2d_\d+/kernel$", 4, P(None, None, None, "model")),
     (r"params/encoder/conv2d_\d+/bias$", 1, P("model")),
     (r"params/gar/layer\d+/wi$", 2, P("model", None)),
+    (r"Attention_0/(query|key|value)/kernel$", 3, P(None, "model", None)),
+    (r"Attention_0/(query|key|value)/bias$", 2, P("model", None)),
+    (r"Attention_0/out/kernel$", 3, P("model", None, None)),
+    (r"params/gar/block\d+/Dense_0/kernel$", 2, P(None, "model")),
+    (r"params/gar/block\d+/Dense_0/bias$", 1, P("model")),
+    (r"params/gar/block\d+/Dense_1/kernel$", 2, P("model", None)),
 )
 
 

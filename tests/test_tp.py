@@ -117,6 +117,59 @@ def test_tp_step_matches_single_device_realistic_width():
                                    rtol=1e-3, atol=5e-4)
 
 
+def test_tp_transformer_step_matches_single_device():
+    """Megatron-layout rules for the transformer gar: q/k/v shard over
+    heads, 'out' and fc2 row-parallel (psum), fc1 column-parallel — one
+    step over the 2-D mesh equals the single-device step."""
+    from cpc_tpu.parallel.tp import sharded_param_paths
+    cfg = CPCConfig(
+        model=ModelConfig(
+            encoder=EncoderConfig(channels=(32, 32), kernels=(10, 8),
+                                  strides=(5, 4), d_enc=32),
+            ar=ArConfig(kind="transformer", d_ar=32, num_layers=2,
+                        num_heads=4),
+            loss=LossConfig(prediction_steps=2),
+        ),
+        data=DataConfig(batch_size=8, snippet_samples=2000),
+        train=TrainConfig(seed=0),
+    )
+    model = CPCModel(cfg.model)
+    mesh2d = make_mesh((2, 2), ("data", "model"))
+    mesh1 = make_mesh((1,), ("data",), devices=jax.devices()[:1])
+
+    tp_step, shard_fn, batch_sharding, opt = make_tp_train_step(
+        cfg, model, mesh2d)
+    steps1 = make_step_fns(cfg, model, mesh1)
+    params, opt_state = init_state(cfg, model, opt)
+
+    shard_map_ = sharded_param_paths(params, mesh2d)
+    for want in ("query/kernel", "out/kernel", "Dense_0/kernel",
+                 "Dense_1/kernel"):
+        assert any(want in k for k in shard_map_), (want, sorted(shard_map_))
+    # per block: q/k/v kernel+bias (6), out kernel, fc1 kernel+bias, fc2
+    # kernel (10) x 2 blocks + 2 convs x kernel+bias... conv0 C_out=32 and
+    # conv1, plus prediction heads
+    n_blocks = 2
+    assert len(shard_map_) == 10 * n_blocks + 4 + 1, sorted(shard_map_)
+
+    rng = np.random.default_rng(2)
+    b = np.clip(rng.standard_normal(
+        (cfg.data.batch_size, cfg.data.snippet_samples)) * 8000,
+        -32768, 32767).astype(np.int16)
+
+    p1, s1, m1 = steps1.train_step(
+        jax.tree.map(jnp.copy, params), jax.tree.map(jnp.copy, opt_state),
+        jnp.asarray(b))
+    tp_params, tp_opt = shard_fn(params, opt_state)
+    p2, s2, m2 = tp_step(tp_params, tp_opt,
+                         jax.device_put(b, batch_sharding))
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]),
+                               rtol=1e-5)
+    for a, c in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a),
+                                   rtol=1e-3, atol=5e-4)
+
+
 def test_tp_nondivisible_width_warns():
     """A param whose sharded dim doesn't divide the model axis must fall
     back to replicated LOUDLY, not silently."""

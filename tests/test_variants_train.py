@@ -60,13 +60,14 @@ def test_scalogram_variant_trains(music_corpus, tmp_path):
     assert losses[-1] < losses[0], losses
 
 
-def test_transformer_variant_trains(speech_corpus, tmp_path):
+@pytest.mark.parametrize("attn_impl", ["xla", "flash"])
+def test_transformer_variant_trains(speech_corpus, tmp_path, attn_impl):
     cfg = CPCConfig(
         model=ModelConfig(
             encoder=EncoderConfig(channels=(16, 16), kernels=(10, 8),
                                   strides=(5, 4), d_enc=16),
             ar=ArConfig(kind="transformer", d_ar=16, num_layers=1,
-                        num_heads=2),
+                        num_heads=2, attn_impl=attn_impl),
             loss=LossConfig(prediction_steps=3),
         ),
         data=DataConfig(batch_size=8, snippet_samples=3000, prefetch=1),

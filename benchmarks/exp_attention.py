@@ -43,17 +43,51 @@ def parity(T: int, dtype, tol: float) -> None:
         raise SystemExit(f"flash parity FAILED at T={T} {dtype}: {err}")
 
 
+def sweep_point(B: int, T: int, H: int = 8, d_model: int = 256) -> dict:
+    """fwd+bwd ms for each impl at (B, T), each impl failing independently
+    (XLA's materialized scores are EXPECTED to stop compiling/fitting at
+    some T while flash keeps going — that point is the capability claim)."""
+    from benchmarks.microbench import first, timeit
+    from cpc_tpu.config import ArConfig
+    from cpc_tpu.models.transformer import CausalTransformer
+    rng = np.random.default_rng(0)
+    z = jnp.asarray(rng.standard_normal((B, T, 512)) * 0.1, jnp.bfloat16)
+    out = {"op": "attention_fwd_bwd", "B": B, "T": T}
+    common = dict(kind="transformer", d_ar=d_model, num_layers=2,
+                  num_heads=H, max_len=T)
+    params = None
+    for label, impl in (("xla_ms", "xla"), ("pallas_ms", "flash")):
+        m = CausalTransformer(ArConfig(attn_impl=impl, **common),
+                              dtype=jnp.bfloat16)
+        try:
+            if params is None:
+                params = m.init(jax.random.key(0), z)
+            g = jax.jit(jax.grad(
+                lambda p, a, mm=m: jnp.sum(
+                    mm.apply(p, a).astype(jnp.float32) ** 2)))
+            out[label] = round(timeit(lambda: first(g(params, z)), n=10), 3)
+        except Exception as e:
+            out[label.replace("_ms", "_error")] = str(e)[:160]
+    if "xla_ms" in out and "pallas_ms" in out:
+        out["speedup"] = round(out["xla_ms"] / out["pallas_ms"], 2)
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seq", type=int, default=1024)
     ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--sweep", default="512,1024,2048",
+                    help="context lengths for the timing sweep; the XLA "
+                         "path is allowed to fail (recorded, not fatal) — "
+                         "that failure point IS the capability claim")
     args = ap.parse_args()
 
     parity(128, jnp.float32, 1e-4)
     parity(args.seq, jnp.bfloat16, 3e-2)
 
-    from benchmarks.microbench import bench_attention
-    print(json.dumps(bench_attention(args.batch, T=args.seq)), flush=True)
+    for T in (int(s) for s in args.sweep.split(",")):
+        print(json.dumps(sweep_point(args.batch, T)), flush=True)
 
 
 if __name__ == "__main__":

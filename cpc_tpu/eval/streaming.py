@@ -90,7 +90,11 @@ def portable_stream_model(cfg) -> CPCModel:
             "'none'/'layer' (use windowed extract_features otherwise)")
     enc = dataclasses.replace(cfg.encoder, padding="VALID",
                               use_pallas=False)
-    ar = dataclasses.replace(cfg.ar, use_pallas=False)
+    # attn_impl pinned to 'xla': the KV-cache decode twin IS flax-MHA math,
+    # so the exact-equality contract (stream == offline) needs the offline
+    # side on the same math; a flash-trained checkpoint streams identically
+    # (the knob changes kernels, not parameters)
+    ar = dataclasses.replace(cfg.ar, use_pallas=False, attn_impl="xla")
     return CPCModel(dataclasses.replace(cfg, encoder=enc, ar=ar,
                                         dtype="float32"))
 

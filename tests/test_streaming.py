@@ -117,6 +117,34 @@ def test_streaming_transformer_equals_offline():
         ex2.push(wave)  # 107 latents > 16
 
 
+def test_streaming_flash_trained_checkpoint():
+    """A checkpoint whose config says attn_impl='flash' streams through the
+    same KV-cache path (the extractor pins its offline twin to the xla impl
+    — identical parameters, flax math on both sides of the equality), and
+    the result matches the flash offline forward to kernel tolerance."""
+    cfg = ModelConfig(
+        encoder=EncoderConfig(channels=(16, 24), kernels=(10, 8),
+                              strides=(5, 4), d_enc=24),
+        ar=ArConfig(kind="transformer", d_ar=16, num_layers=1, num_heads=2,
+                    attn_impl="flash"),
+    )
+    model = CPCModel(cfg)
+    params = model.init(jax.random.key(0), np.zeros((1, 2000), np.float32))
+    rng = np.random.default_rng(11)
+    wave = rng.standard_normal(3000).astype(np.float32) * 0.3
+
+    ex = StreamingExtractor(model, params)
+    z_s, c_s = ex.push(wave)
+    # exact vs the xla-impl offline twin
+    xcfg = dataclasses.replace(cfg, ar=dataclasses.replace(
+        cfg.ar, attn_impl="xla"))
+    z_off, c_off = _offline_valid(CPCModel(xcfg), params, xcfg, wave)
+    np.testing.assert_allclose(c_s, c_off, rtol=1e-5, atol=2e-5)
+    # and the flash offline forward agrees to kernel tolerance
+    _, c_fl = _offline_valid(model, params, cfg, wave)
+    np.testing.assert_allclose(c_s, c_fl, rtol=1e-4, atol=1e-4)
+
+
 def test_streaming_rejects_unsupported_variants():
     # time-axis norm statistics cannot stream
     cfg = ModelConfig(

@@ -49,9 +49,12 @@ FORMAT_VERSION = 1
 
 
 def _portable_model(model: CPCModel) -> CPCModel:
+    """Same params, portable kernels: Pallas flags (and the flash attention
+    impl) pinned off so the exported StableHLO has no Mosaic custom calls —
+    that is what makes the artifact loadable on cpu AND tpu."""
     cfg = model.config
     enc = dataclasses.replace(cfg.encoder, use_pallas=False)
-    ar = dataclasses.replace(cfg.ar, use_pallas=False)
+    ar = dataclasses.replace(cfg.ar, use_pallas=False, attn_impl="xla")
     return CPCModel(dataclasses.replace(cfg, encoder=enc, ar=ar))
 
 

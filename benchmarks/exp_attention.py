@@ -21,13 +21,13 @@ import numpy as np
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
-def parity(T: int, dtype, tol: float) -> None:
+def parity(T: int, dtype, tol: float, impl: str = "flash") -> None:
     from cpc_tpu.config import ArConfig
     from cpc_tpu.models.transformer import CausalTransformer
     common = dict(kind="transformer", d_ar=256, num_layers=2, num_heads=8,
                   max_len=T)
     m_x = CausalTransformer(ArConfig(**common), dtype=dtype)
-    m_f = CausalTransformer(ArConfig(attn_impl="flash", **common),
+    m_f = CausalTransformer(ArConfig(attn_impl=impl, **common),
                             dtype=dtype)
     z = jnp.asarray(np.random.default_rng(0).standard_normal((2, T, 512)),
                     jnp.float32)
@@ -36,11 +36,11 @@ def parity(T: int, dtype, tol: float) -> None:
     b = np.asarray(jax.jit(m_f.apply)(params, z), np.float32)
     err = float(np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-9))
     ok = bool(err < tol)
-    print(json.dumps({"check": "flash_parity_compiled", "T": T,
+    print(json.dumps({"check": f"{impl}_parity_compiled", "T": T,
                       "dtype": str(dtype.__name__), "rel_err": round(err, 6),
                       "ok": ok}), flush=True)
     if not ok:
-        raise SystemExit(f"flash parity FAILED at T={T} {dtype}: {err}")
+        raise SystemExit(f"{impl} parity FAILED at T={T} {dtype}: {err}")
 
 
 def sweep_point(B: int, T: int, H: int = 8, d_model: int = 256) -> dict:
@@ -56,7 +56,8 @@ def sweep_point(B: int, T: int, H: int = 8, d_model: int = 256) -> dict:
     common = dict(kind="transformer", d_ar=d_model, num_layers=2,
                   num_heads=H, max_len=T)
     params = None
-    for label, impl in (("xla_ms", "xla"), ("pallas_ms", "flash")):
+    for label, impl in (("xla_ms", "xla"), ("pallas_ms", "flash"),
+                        ("pallas16_ms", "flash16")):
         m = CausalTransformer(ArConfig(attn_impl=impl, **common),
                               dtype=jnp.bfloat16)
         try:
@@ -85,6 +86,7 @@ def main() -> None:
 
     parity(128, jnp.float32, 1e-4)
     parity(args.seq, jnp.bfloat16, 3e-2)
+    parity(args.seq, jnp.bfloat16, 5e-2, impl="flash16")
 
     for T in (int(s) for s in args.sweep.split(",")):
         print(json.dumps(sweep_point(args.batch, T)), flush=True)

@@ -86,6 +86,8 @@ class ArConfig:
     # reference's ~128-latent snippets) | 'flash' (Pallas streaming-softmax
     # kernel, ops/attention_pallas.py — the context-scaling regime where
     # B*H*T^2 score materialization stops fitting; requires dropout=0.0)
+    # | 'flash16' (same kernel, post-softmax matmuls fed bf16 at the MXU's
+    # 2x bf16 issue rate; softmax statistics and accumulators stay fp32)
     attn_impl: str = "xla"
 
 

@@ -52,6 +52,7 @@ class FlashSelfAttention(nn.Module):
     d_model: int
     dtype: Any
     param_dtype: Any
+    p_dtype: str = "float32"  # post-softmax matmul input dtype ('flash16')
 
     def setup(self):
         if self.d_model % self.num_heads:
@@ -76,7 +77,7 @@ class FlashSelfAttention(nn.Module):
         q = self.query(inputs_q)   # (B, T, H, Dh)
         k = self.key(inputs_kv)
         v = self.value(inputs_kv)
-        return self.out(flash_causal_mha(q, k, v))
+        return self.out(flash_causal_mha(q, k, v, p_dtype=self.p_dtype))
 
 
 class _Block(nn.Module):
@@ -93,12 +94,14 @@ class _Block(nn.Module):
         self.ln_attn = nn.LayerNorm(dtype=self.dtype,
                                     param_dtype=self.param_dtype,
                                     name="LayerNorm_0")
-        if self.attn_impl == "flash" and not self.decode:
+        if self.attn_impl in ("flash", "flash16") and not self.decode:
             self.attn = FlashSelfAttention(
                 num_heads=self.num_heads,
                 d_model=self.d_model,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
+                p_dtype=("bfloat16" if self.attn_impl == "flash16"
+                         else "float32"),
                 name="MultiHeadDotProductAttention_0",
             )
         else:
@@ -141,14 +144,14 @@ class CausalTransformer(nn.Module):
 
     def setup(self):
         cfg = self.config
-        if cfg.attn_impl not in ("xla", "flash"):
+        if cfg.attn_impl not in ("xla", "flash", "flash16"):
+            raise ValueError(f"ar.attn_impl must be 'xla'|'flash'|'flash16', "
+                             f"got {cfg.attn_impl!r}")
+        if cfg.attn_impl != "xla" and cfg.dropout > 0:
             raise ValueError(
-                f"ar.attn_impl must be 'xla'|'flash', got {cfg.attn_impl!r}")
-        if cfg.attn_impl == "flash" and cfg.dropout > 0:
-            raise ValueError(
-                "ar.attn_impl='flash' does not implement attention-weight "
-                "dropout (flax's MHA semantics); use attn_impl='xla' with "
-                "dropout, or dropout=0.0 with flash")
+                f"ar.attn_impl={cfg.attn_impl!r} does not implement "
+                "attention-weight dropout (flax's MHA semantics); use "
+                "attn_impl='xla' with dropout, or dropout=0.0 with flash")
         self.in_proj = nn.Dense(cfg.d_ar, dtype=self.dtype,
                                 param_dtype=self.param_dtype, name="in_proj")
         self.pos_embed = self.param(
@@ -188,7 +191,7 @@ class CausalTransformer(nn.Module):
         x = x + self.pos_embed[:T].astype(self.dtype)[None]
         x = self.in_drop(x, deterministic=deterministic)
         # flash is causal in-kernel; don't build the (B, 1, T, T) mask tensor
-        mask = (None if cfg.attn_impl == "flash"
+        mask = (None if cfg.attn_impl in ("flash", "flash16")
                 else nn.make_causal_mask(jnp.ones((B, T)), dtype=bool))
         for blk in self.blocks:
             x = blk(x, mask, deterministic=deterministic)

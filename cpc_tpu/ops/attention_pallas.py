@@ -63,7 +63,7 @@ def _tiles(T: int) -> Tuple[int, int]:
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
-                *, QT: int, KT: int, T: int, scale: float):
+                *, QT: int, KT: int, T: int, scale: float, p_dtype: str):
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
@@ -91,8 +91,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
         p = jnp.exp(s - m_new[:, None])
         corr = jnp.exp(m_old - m_new)
         l_scr[:, 0] = l_scr[:, 0] * corr + jnp.sum(p, axis=-1)
+        pd = jnp.dtype(p_dtype)
         acc_scr[:, :] = acc_scr[:, :] * corr[:, None] + jax.lax.dot_general(
-            p, v_ref[0].astype(jnp.float32),
+            p.astype(pd), v_ref[0].astype(pd),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         m_scr[:, 0] = m_new
@@ -115,7 +116,7 @@ def _recompute_p(q_ref, k_ref, lse_ref, row0, col0, QT, KT, T, scale):
 
 
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dres_ref, dq_ref, acc,
-               *, QT: int, KT: int, T: int, scale: float):
+               *, QT: int, KT: int, T: int, scale: float, p_dtype: str):
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
@@ -127,14 +128,15 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dres_ref, dq_ref, acc,
 
     @pl.when(col0 <= row0 + QT - 1)
     def _():
+        pd = jnp.dtype(p_dtype)
         p = _recompute_p(q_ref, k_ref, lse_ref, row0, col0, QT, KT, T, scale)
         dp = jax.lax.dot_general(  # dO V^T (QT, KT)
-            do_ref[0].astype(jnp.float32), v_ref[0].astype(jnp.float32),
+            do_ref[0].astype(pd), v_ref[0].astype(pd),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         ds = p * (dp - dres_ref[0, 0, 0, :][:, None]) * scale
         acc[:, :] += jax.lax.dot_general(
-            ds, k_ref[0].astype(jnp.float32),
+            ds.astype(pd), k_ref[0].astype(pd),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
@@ -145,7 +147,7 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dres_ref, dq_ref, acc,
 
 def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dres_ref,
                 dk_ref, dv_ref, dk_acc, dv_acc,
-                *, QT: int, KT: int, T: int, scale: float):
+                *, QT: int, KT: int, T: int, scale: float, p_dtype: str):
     qi = pl.program_id(2)
 
     @pl.when(qi == 0)
@@ -158,19 +160,20 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dres_ref,
 
     @pl.when(col0 <= row0 + QT - 1)
     def _():
+        pd = jnp.dtype(p_dtype)
         p = _recompute_p(q_ref, k_ref, lse_ref, row0, col0, QT, KT, T, scale)
-        do = do_ref[0].astype(jnp.float32)
+        do = do_ref[0].astype(pd)
         dv_acc[:, :] += jax.lax.dot_general(  # P^T dO (KT, Dh)
-            p, do,
+            p.astype(pd), do,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(
-            do, v_ref[0].astype(jnp.float32),
+            do, v_ref[0].astype(pd),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         ds = p * (dp - dres_ref[0, 0, 0, :][:, None]) * scale
         dk_acc[:, :] += jax.lax.dot_general(  # dS^T Q (KT, Dh)
-            ds, q_ref[0].astype(jnp.float32),
+            ds.astype(pd), q_ref[0].astype(pd),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
@@ -185,20 +188,21 @@ def _pad_t(x, t_pad):
     return x if T == t_pad else jnp.pad(x, ((0, 0), (0, t_pad - T), (0, 0)))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _flash(q, k, v, scale, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash(q, k, v, scale, interpret, p_dtype):
     """(BH, T, Dh) q/k/v -> (BH, T, Dh) causal attention output."""
-    o, _ = _flash_fwd(q, k, v, scale, interpret)
+    o, _ = _flash_fwd(q, k, v, scale, interpret, p_dtype)
     return o
 
 
-def _flash_fwd(q, k, v, scale, interpret):
+def _flash_fwd(q, k, v, scale, interpret, p_dtype):
     BH, T, Dh = q.shape
     t_pad, tile = _tiles(T)
     qp, kp, vp = (_pad_t(x, t_pad) for x in (q, k, v))
     n_tiles = t_pad // tile
     grid = (BH, n_tiles, n_tiles)
-    kern = functools.partial(_fwd_kernel, QT=tile, KT=tile, T=T, scale=scale)
+    kern = functools.partial(_fwd_kernel, QT=tile, KT=tile, T=T, scale=scale,
+                             p_dtype=p_dtype)
     qkv_spec = [
         pl.BlockSpec((1, tile, Dh), lambda b, r, c: (b, r, 0),
                      memory_space=pltpu.VMEM),
@@ -237,12 +241,12 @@ def _flash_fwd(q, k, v, scale, interpret):
     return o[:, :T], (q, k, v, lse)
 
 
-def _flash_fwd_rule(q, k, v, scale, interpret):
-    o, res = _flash_fwd(q, k, v, scale, interpret)
+def _flash_fwd_rule(q, k, v, scale, interpret, p_dtype):
+    o, res = _flash_fwd(q, k, v, scale, interpret, p_dtype)
     return o, res + (o,)
 
 
-def _flash_bwd_rule(scale, interpret, res, g):
+def _flash_bwd_rule(scale, interpret, p_dtype, res, g):
     q, k, v, lse, o = res
     BH, T, Dh = q.shape
     t_pad, tile = _tiles(T)
@@ -254,7 +258,7 @@ def _flash_bwd_rule(scale, interpret, res, g):
     dres = _pad_t(dres[..., None], t_pad)[..., 0]
     dres = dres.reshape(BH, n_tiles, 1, tile)
 
-    common = dict(QT=tile, KT=tile, T=T, scale=scale)
+    common = dict(QT=tile, KT=tile, T=T, scale=scale, p_dtype=p_dtype)
     row_spec = pl.BlockSpec((1, tile, Dh), lambda b, r, c: (b, r, 0),
                             memory_space=pltpu.VMEM)
     col_spec = pl.BlockSpec((1, tile, Dh), lambda b, r, c: (b, c, 0),
@@ -299,12 +303,19 @@ _flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 def flash_causal_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
                      scale: float | None = None,
-                     interpret: bool = False) -> jnp.ndarray:
+                     interpret: bool = False,
+                     p_dtype: str = "float32") -> jnp.ndarray:
     """Causal multi-head attention, O(T) memory in the scores.
 
     q/k/v: (B, T, H, Dh) (the flax DenseGeneral head layout). Returns
     (B, T, H, Dh). scale defaults to Dh**-0.5 (applied to the scores in
     fp32, numerically equivalent to flax's query/sqrt(Dh) pre-scaling).
+
+    p_dtype: input dtype for the five post-softmax matmuls (PV forward;
+    dO·Vᵀ, dS·K, Pᵀ·dO, dSᵀ·Q backward). The QKᵀ scores, the online-softmax
+    statistics, and every accumulator stay float32 regardless. 'bfloat16'
+    feeds those MXU ops at the 2× bf16 issue rate (ar.attn_impl='flash16');
+    'float32' (default) is the exact-parity setting.
     """
     B, T, H, Dh = q.shape
     if scale is None:
@@ -314,5 +325,5 @@ def flash_causal_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     def fold(x):
         return x.transpose(0, 2, 1, 3).reshape(B * H, T, Dh)
 
-    o = _flash(fold(q), fold(k), fold(v), scale, interpret)
+    o = _flash(fold(q), fold(k), fold(v), scale, interpret, p_dtype)
     return o.reshape(B, H, T, Dh).transpose(0, 2, 1, 3)

@@ -125,3 +125,57 @@ def test_attn_impl_validation():
                    attn_impl="flash")
     with pytest.raises(ValueError, match="dropout"):
         CausalTransformer(bad).init(jax.random.PRNGKey(0), z)
+
+
+# --- flash16: bf16-fed post-softmax matmuls (ar.attn_impl='flash16') ------
+
+def test_flash16_forward_close_to_reference():
+    """p_dtype='bfloat16' rounds only the 5 post-softmax matmul inputs;
+    softmax statistics stay fp32, so the error is bf16 rounding (~8 mantissa
+    bits), not a drift."""
+    q, k, v = _qkv(200, seed=6)
+    got = flash_causal_mha(q, k, v, p_dtype="bfloat16")
+    want = _ref_causal_mha(q, k, v)
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_flash16_gradients_close_to_reference():
+    q, k, v = _qkv(100, seed=7)
+    w = jnp.asarray(np.random.default_rng(8).standard_normal(q.shape),
+                    jnp.float32)
+
+    def f16(q, k, v):
+        return jnp.sum(flash_causal_mha(q, k, v, p_dtype="bfloat16") * w)
+
+    def f_ref(q, k, v):
+        return jnp.sum(_ref_causal_mha(q, k, v) * w)
+
+    g16 = jax.grad(f16, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for got, want, name in zip(g16, g_ref, "qkv"):
+        np.testing.assert_allclose(got, want, rtol=4e-2, atol=4e-2,
+                                   err_msg=f"d{name}")
+
+
+def test_module_flash16_same_tree_close_output():
+    """flash16 shares the exact flax param tree (checkpoints move freely);
+    outputs agree to bf16 rounding."""
+    T = 72
+    z = jnp.asarray(np.random.default_rng(9).standard_normal((2, T, 24)),
+                    jnp.float32)
+    m_xla, m_16 = _tf("xla", T), _tf("flash16", T)
+    params = m_xla.init(jax.random.PRNGKey(0), z)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(
+                m_16.init(jax.random.PRNGKey(0), z)))
+    np.testing.assert_allclose(m_16.apply(params, z),
+                               m_xla.apply(params, z),
+                               rtol=4e-2, atol=4e-2)
+
+
+def test_flash16_dropout_validation():
+    z = jnp.zeros((1, 8, 24), jnp.float32)
+    bad = ArConfig(kind="transformer", d_ar=32, num_heads=4, dropout=0.1,
+                   attn_impl="flash16")
+    with pytest.raises(ValueError, match="dropout"):
+        CausalTransformer(bad).init(jax.random.PRNGKey(0), z)

@@ -60,7 +60,7 @@ def test_scalogram_variant_trains(music_corpus, tmp_path):
     assert losses[-1] < losses[0], losses
 
 
-@pytest.mark.parametrize("attn_impl", ["xla", "flash"])
+@pytest.mark.parametrize("attn_impl", ["xla", "flash", "flash16"])
 def test_transformer_variant_trains(speech_corpus, tmp_path, attn_impl):
     cfg = CPCConfig(
         model=ModelConfig(

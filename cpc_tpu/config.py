@@ -88,7 +88,11 @@ class ArConfig:
     # B*H*T^2 score materialization stops fitting; requires dropout=0.0)
     # | 'flash16' (same kernel, post-softmax matmuls fed bf16 at the MXU's
     # 2x bf16 issue rate; softmax statistics and accumulators stay fp32)
+    # | 'ring' (context parallelism: apply the gar under shard_map with z
+    # sharded along T on the `cp_axis` mesh axis; attention runs the KV
+    # ppermute ring of ops/attention_ring.py — see parallel/cp.py)
     attn_impl: str = "xla"
+    cp_axis: str = "ctx"  # mesh axis name for attn_impl='ring'
 
 
 @dataclasses.dataclass(frozen=True)

@@ -26,6 +26,14 @@ instead. FlashSelfAttention carries the exact flax-MHA parameter tree
 (query/key/value/out DenseGenerals under the same module name), so the same
 checkpoint loads under either impl — and the decode/KV-cache twin keeps the
 flax path regardless (one new latent per step has no score matrix to fuse).
+
+Context parallelism (ar.attn_impl='ring'): past flash, the wall is the
+(B, T, D) activations themselves. Every op in this module except attention
+is per-position, so apply the module under shard_map with z sharded along T
+on the `ar.cp_axis` mesh axis and attention running the KV ppermute ring
+(`ops/attention_ring.py`); the positional embedding is offset by the
+shard's global position. Same flax param tree again — params replicated,
+activations T-sharded. See parallel/cp.py for the shard_map wrapper.
 """
 
 from __future__ import annotations
@@ -80,6 +88,46 @@ class FlashSelfAttention(nn.Module):
         return self.out(flash_causal_mha(q, k, v, p_dtype=self.p_dtype))
 
 
+class RingSelfAttention(nn.Module):
+    """Context-parallel causal self-attention (ops/attention_ring.py).
+
+    Same flax-MHA parameter tree as FlashSelfAttention; inputs/outputs are
+    this device's (B, T_loc, d) shard of a T-sharded sequence — must run
+    inside shard_map with `cp_axis` a mesh axis name.
+    """
+
+    num_heads: int
+    d_model: int
+    dtype: Any
+    param_dtype: Any
+    cp_axis: str = "ctx"
+
+    def setup(self):
+        if self.d_model % self.num_heads:
+            raise ValueError(f"d_ar {self.d_model} not divisible by "
+                             f"num_heads {self.num_heads}")
+        head_dim = self.d_model // self.num_heads
+        dg = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        self.query = nn.DenseGeneral((self.num_heads, head_dim),
+                                     name="query", **dg)
+        self.key = nn.DenseGeneral((self.num_heads, head_dim),
+                                   name="key", **dg)
+        self.value = nn.DenseGeneral((self.num_heads, head_dim),
+                                     name="value", **dg)
+        self.out = nn.DenseGeneral(self.d_model, axis=(-2, -1),
+                                   name="out", **dg)
+
+    def __call__(self, inputs_q, inputs_kv=None, mask=None,
+                 deterministic: bool = True):
+        from cpc_tpu.ops.attention_ring import ring_causal_mha
+        if inputs_kv is None:
+            inputs_kv = inputs_q
+        q = self.query(inputs_q)   # (B, T_loc, H, Dh)
+        k = self.key(inputs_kv)
+        v = self.value(inputs_kv)
+        return self.out(ring_causal_mha(q, k, v, axis_name=self.cp_axis))
+
+
 class _Block(nn.Module):
     d_model: int
     num_heads: int
@@ -89,12 +137,22 @@ class _Block(nn.Module):
     param_dtype: Any
     decode: bool = False
     attn_impl: str = "xla"
+    cp_axis: str = "ctx"
 
     def setup(self):
         self.ln_attn = nn.LayerNorm(dtype=self.dtype,
                                     param_dtype=self.param_dtype,
                                     name="LayerNorm_0")
-        if self.attn_impl in ("flash", "flash16") and not self.decode:
+        if self.attn_impl == "ring" and not self.decode:
+            self.attn = RingSelfAttention(
+                num_heads=self.num_heads,
+                d_model=self.d_model,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                cp_axis=self.cp_axis,
+                name="MultiHeadDotProductAttention_0",
+            )
+        elif self.attn_impl in ("flash", "flash16") and not self.decode:
             self.attn = FlashSelfAttention(
                 num_heads=self.num_heads,
                 d_model=self.d_model,
@@ -144,14 +202,19 @@ class CausalTransformer(nn.Module):
 
     def setup(self):
         cfg = self.config
-        if cfg.attn_impl not in ("xla", "flash", "flash16"):
-            raise ValueError(f"ar.attn_impl must be 'xla'|'flash'|'flash16', "
-                             f"got {cfg.attn_impl!r}")
+        if cfg.attn_impl not in ("xla", "flash", "flash16", "ring"):
+            raise ValueError(
+                f"ar.attn_impl must be 'xla'|'flash'|'flash16'|'ring', "
+                f"got {cfg.attn_impl!r}")
         if cfg.attn_impl != "xla" and cfg.dropout > 0:
             raise ValueError(
                 f"ar.attn_impl={cfg.attn_impl!r} does not implement "
                 "attention-weight dropout (flax's MHA semantics); use "
                 "attn_impl='xla' with dropout, or dropout=0.0 with flash")
+        if cfg.attn_impl == "ring" and self.decode:
+            raise ValueError(
+                "ar.attn_impl='ring' has no KV-cache decode twin — stream "
+                "via attn_impl='xla' (eval.streaming pins it anyway)")
         self.in_proj = nn.Dense(cfg.d_ar, dtype=self.dtype,
                                 param_dtype=self.param_dtype, name="in_proj")
         self.pos_embed = self.param(
@@ -168,6 +231,7 @@ class CausalTransformer(nn.Module):
                 param_dtype=self.param_dtype,
                 decode=self.decode,
                 attn_impl=cfg.attn_impl,
+                cp_axis=cfg.cp_axis,
                 name=f"block{i}",
             )
             for i in range(cfg.num_layers)
@@ -185,13 +249,24 @@ class CausalTransformer(nn.Module):
                  deterministic: bool = True) -> jnp.ndarray:
         cfg = self.config
         B, T, _ = z.shape
-        if T > cfg.max_len:
-            raise ValueError(f"sequence length {T} > max_len {cfg.max_len}")
+        if cfg.attn_impl == "ring":
+            # z is this device's T-shard; positions are globally offset
+            R = jax.lax.axis_size(cfg.cp_axis)
+            if R * T > cfg.max_len:
+                raise ValueError(f"global sequence {R}*{T} > max_len "
+                                 f"{cfg.max_len}")
+            start = jax.lax.axis_index(cfg.cp_axis) * T
+            pos = jax.lax.dynamic_slice_in_dim(self.pos_embed, start, T)
+        else:
+            if T > cfg.max_len:
+                raise ValueError(f"sequence length {T} > max_len "
+                                 f"{cfg.max_len}")
+            pos = self.pos_embed[:T]
         x = self.in_proj(z.astype(self.dtype))
-        x = x + self.pos_embed[:T].astype(self.dtype)[None]
+        x = x + pos.astype(self.dtype)[None]
         x = self.in_drop(x, deterministic=deterministic)
-        # flash is causal in-kernel; don't build the (B, 1, T, T) mask tensor
-        mask = (None if cfg.attn_impl in ("flash", "flash16")
+        # flash/ring are causal in-kernel; no (B, 1, T, T) mask tensor
+        mask = (None if cfg.attn_impl in ("flash", "flash16", "ring")
                 else nn.make_causal_mask(jnp.ones((B, T)), dtype=bool))
         for blk in self.blocks:
             x = blk(x, mask, deterministic=deterministic)

@@ -1,0 +1,62 @@
+"""Context parallelism for the transformer gar (SURVEY.md §3 parallelism
+checklist; the scaling axis behind RESULTS.md's context-length findings).
+
+DP shards the batch, TP shards the model; CP shards the SEQUENCE. The
+context-scaling study showed context length is the representation lever for
+temporal speaker structure, and a single chip caps it at whatever (B, T, D)
+activation set fits HBM. Every op in `models/transformer.py` except
+attention is per-position, so the whole gar runs under shard_map with z
+split along T: parameters replicated, activations T-sharded, and attention
+— the one position-mixing op — sweeping KV chunks around the mesh's ICI
+ring (`ops/attention_ring.py`, the infonce_ring ppermute pattern applied to
+the attention matrix). The positional table is indexed at each shard's
+global offset inside the module itself (attn_impl='ring').
+
+Scope (documented, deliberate): CP covers the gar, where the quadratic
+cost and the long-range mixing live. The conv encoder is a short-FIR local
+op — for audio beyond one chip, encode time-chunks data-parallel (the
+fields are strictly local) and reshard z (B, T, D) -> T-sharded; gar+loss
+then run CP. `cp_transformer_apply` is the building block and the unit the
+driver dryrun exercises end-to-end with gradients.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from cpc_tpu.config import ArConfig
+
+
+def cp_transformer_apply(cfg: ArConfig, params: Any, z: jnp.ndarray, *,
+                         mesh: Mesh, axis: str | None = None) -> jnp.ndarray:
+    """c = gar(z) with T sharded over `axis` (default: cfg.cp_axis).
+
+    z: GLOBAL (B, T, D); T must divide by the axis size. params are the
+    standard CausalTransformer tree (replicated — any checkpoint loads).
+    Output is the global (B, T, d_ar), sharded the same way.
+    """
+    from cpc_tpu.models.transformer import CausalTransformer
+
+    axis = axis or cfg.cp_axis
+    R = mesh.shape[axis]
+    T = z.shape[1]
+    if T % R:
+        raise ValueError(f"T={T} not divisible by mesh axis {axis!r}={R}")
+    if cfg.attn_impl != "ring" or cfg.cp_axis != axis:
+        cfg = dataclasses.replace(cfg, attn_impl="ring", cp_axis=axis)
+    model = CausalTransformer(cfg)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(None, axis, None)),
+        out_specs=P(None, axis, None))
+    def run(p, z_shard):
+        return model.apply(p, z_shard)
+
+    return run(params, z)

@@ -1,0 +1,129 @@
+"""Context-parallel (ring) causal attention: equality against the
+single-device oracles on the 8-virtual-device CPU mesh (SURVEY.md §5.3
+distributed-without-cluster strategy; ops/attention_ring.py).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from cpc_tpu.config import ArConfig
+from cpc_tpu.models.transformer import CausalTransformer
+from cpc_tpu.ops.attention_ring import ring_causal_mha
+from cpc_tpu.parallel.cp import cp_transformer_apply
+from cpc_tpu.parallel.mesh import make_mesh
+
+
+def _ref_causal_mha(q, k, v):
+    Dh = q.shape[-1]
+    s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) / jnp.sqrt(Dh).astype(jnp.float32)
+    T = q.shape[1]
+    s = jnp.where(jnp.tril(jnp.ones((T, T), bool)), s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v.astype(jnp.float32))
+
+
+def _qkv(T, B=2, H=2, Dh=8, seed=0):
+    r = np.random.default_rng(seed)
+    return tuple(jnp.asarray(r.standard_normal((B, T, H, Dh)), jnp.float32)
+                 for _ in range(3))
+
+
+def _ring_global(q, k, v, mesh, axis="ctx"):
+    """Run the ring op under shard_map on global arrays, return global out."""
+    fn = functools.partial(ring_causal_mha, axis_name=axis)
+    spec = P(None, axis, None, None)
+    return jax.jit(jax.shard_map(fn, mesh=mesh, in_specs=(spec,) * 3,
+                                 out_specs=spec))(q, k, v)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh((-1,), ("ctx",))
+
+
+@pytest.mark.parametrize("T", [64, 256])
+def test_ring_forward_matches_reference(mesh, T):
+    q, k, v = _qkv(T)
+    got = _ring_global(q, k, v, mesh)
+    want = _ref_causal_mha(q, k, v)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_ring_gradients_match_reference(mesh):
+    T = 128
+    q, k, v = _qkv(T, seed=1)
+    w = jnp.asarray(np.random.default_rng(2).standard_normal(q.shape),
+                    jnp.float32)
+
+    def f_ring(q, k, v):
+        return jnp.sum(_ring_global(q, k, v, mesh) * w)
+
+    def f_ref(q, k, v):
+        return jnp.sum(_ref_causal_mha(q, k, v) * w)
+
+    g_ring = jax.grad(f_ring, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for got, want, name in zip(g_ring, g_ref, "qkv"):
+        np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-5,
+                                   err_msg=f"d{name}")
+
+
+def _cfg(T, impl="ring"):
+    return ArConfig(kind="transformer", d_ar=32, num_layers=2, num_heads=4,
+                    max_len=T, attn_impl=impl)
+
+
+def test_cp_transformer_equals_single_device(mesh):
+    """Full gar under shard_map (params replicated, z T-sharded, positions
+    globally offset, ring attention) == the plain single-device forward."""
+    T = 8 * 16
+    z = jnp.asarray(np.random.default_rng(3).standard_normal((2, T, 24)),
+                    jnp.float32)
+    m_ref = CausalTransformer(_cfg(T, "xla"))
+    params = m_ref.init(jax.random.PRNGKey(0), z)
+    want = m_ref.apply(params, z)
+    got = cp_transformer_apply(_cfg(T), params, z, mesh=mesh)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_cp_transformer_param_grads_match(mesh):
+    """Gradients w.r.t. the REPLICATED parameter tree through the T-sharded
+    apply equal the single-device gradients (shard_map psums the replicated
+    params' cotangents itself)."""
+    T = 8 * 8
+    z = jnp.asarray(np.random.default_rng(4).standard_normal((2, T, 24)),
+                    jnp.float32)
+    m_ref = CausalTransformer(_cfg(T, "xla"))
+    params = m_ref.init(jax.random.PRNGKey(1), z)
+
+    g_ref = jax.grad(lambda p: jnp.sum(jnp.tanh(m_ref.apply(p, z))))(params)
+    g_cp = jax.grad(lambda p: jnp.sum(jnp.tanh(
+        cp_transformer_apply(_cfg(T), p, z, mesh=mesh))))(params)
+    flat_r, _ = jax.tree_util.tree_flatten(g_ref)
+    flat_c, _ = jax.tree_util.tree_flatten(g_cp)
+    for a, b in zip(flat_c, flat_r):
+        np.testing.assert_allclose(a, b, rtol=5e-5, atol=5e-5)
+
+
+def test_cp_validation(mesh):
+    T = 8 * 4
+    z = jnp.zeros((1, T + 1, 24), jnp.float32)
+    with pytest.raises(ValueError, match="divisible"):
+        cp_transformer_apply(_cfg(T), {}, z, mesh=mesh)
+    with pytest.raises(ValueError, match="decode"):
+        CausalTransformer(_cfg(64), decode=True).init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 1, 24), jnp.float32))
+    # max_len guards the GLOBAL sequence, not the local shard: a 128-long
+    # sequence is only 16 per shard, but the table holds 64 positions
+    m = CausalTransformer(_cfg(64, "xla"))
+    params = m.init(jax.random.PRNGKey(0),
+                    jnp.zeros((1, 64, 24), jnp.float32))
+    with pytest.raises(ValueError, match="global sequence"):
+        cp_transformer_apply(_cfg(64), params,
+                             jnp.zeros((1, 128, 24), jnp.float32), mesh=mesh)

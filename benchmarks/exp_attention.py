@@ -71,6 +71,8 @@ def sweep_point(B: int, T: int, H: int = 8, d_model: int = 256) -> dict:
             out[label.replace("_ms", "_error")] = str(e)[:160]
     if "xla_ms" in out and "pallas_ms" in out:
         out["speedup"] = round(out["xla_ms"] / out["pallas_ms"], 2)
+    if "xla_ms" in out and "pallas16_ms" in out:
+        out["speedup16"] = round(out["xla_ms"] / out["pallas16_ms"], 2)
     return out
 
 

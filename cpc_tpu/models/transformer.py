@@ -88,34 +88,16 @@ class FlashSelfAttention(nn.Module):
         return self.out(flash_causal_mha(q, k, v, p_dtype=self.p_dtype))
 
 
-class RingSelfAttention(nn.Module):
+class RingSelfAttention(FlashSelfAttention):
     """Context-parallel causal self-attention (ops/attention_ring.py).
 
-    Same flax-MHA parameter tree as FlashSelfAttention; inputs/outputs are
-    this device's (B, T_loc, d) shard of a T-sharded sequence — must run
-    inside shard_map with `cp_axis` a mesh axis name.
+    Inherits FlashSelfAttention's setup() — the SAME flax-MHA parameter
+    tree, kept identical in one place. Inputs/outputs are this device's
+    (B, T_loc, d) shard of a T-sharded sequence — must run inside
+    shard_map with `cp_axis` a mesh axis name.
     """
 
-    num_heads: int
-    d_model: int
-    dtype: Any
-    param_dtype: Any
     cp_axis: str = "ctx"
-
-    def setup(self):
-        if self.d_model % self.num_heads:
-            raise ValueError(f"d_ar {self.d_model} not divisible by "
-                             f"num_heads {self.num_heads}")
-        head_dim = self.d_model // self.num_heads
-        dg = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        self.query = nn.DenseGeneral((self.num_heads, head_dim),
-                                     name="query", **dg)
-        self.key = nn.DenseGeneral((self.num_heads, head_dim),
-                                   name="key", **dg)
-        self.value = nn.DenseGeneral((self.num_heads, head_dim),
-                                     name="value", **dg)
-        self.out = nn.DenseGeneral(self.d_model, axis=(-2, -1),
-                                   name="out", **dg)
 
     def __call__(self, inputs_q, inputs_kv=None, mask=None,
                  deterministic: bool = True):
@@ -251,7 +233,14 @@ class CausalTransformer(nn.Module):
         B, T, _ = z.shape
         if cfg.attn_impl == "ring":
             # z is this device's T-shard; positions are globally offset
-            R = jax.lax.axis_size(cfg.cp_axis)
+            try:
+                R = jax.lax.axis_size(cfg.cp_axis)
+            except (NameError, KeyError, TypeError) as e:
+                raise ValueError(
+                    f"ar.attn_impl='ring' must be applied inside shard_map "
+                    f"with mesh axis {cfg.cp_axis!r} (z sharded along T) — "
+                    f"use cpc_tpu.parallel.cp.cp_transformer_apply; plain "
+                    f"apply has no {cfg.cp_axis!r} axis ({e})") from e
             if R * T > cfg.max_len:
                 raise ValueError(f"global sequence {R}*{T} > max_len "
                                  f"{cfg.max_len}")

@@ -33,25 +33,16 @@ from jax.sharding import Mesh, PartitionSpec as P
 from cpc_tpu.config import ArConfig
 
 
-def cp_transformer_apply(cfg: ArConfig, params: Any, z: jnp.ndarray, *,
-                         mesh: Mesh, axis: str | None = None) -> jnp.ndarray:
-    """c = gar(z) with T sharded over `axis` (default: cfg.cp_axis).
-
-    z: GLOBAL (B, T, D); T must divide by the axis size. params are the
-    standard CausalTransformer tree (replicated — any checkpoint loads).
-    Output is the global (B, T, d_ar), sharded the same way.
-    """
+@functools.lru_cache(maxsize=32)
+def _cp_runner(cfg: ArConfig, mesh: Mesh, axis: str, dtype, param_dtype):
+    """Jitted shard_map apply, cached per (config, mesh, axis, dtypes) so
+    repeated calls reuse the compiled executable instead of retracing the
+    whole transformer (remote TPU compiles cost minutes — CLAUDE.md)."""
     from cpc_tpu.models.transformer import CausalTransformer
 
-    axis = axis or cfg.cp_axis
-    R = mesh.shape[axis]
-    T = z.shape[1]
-    if T % R:
-        raise ValueError(f"T={T} not divisible by mesh axis {axis!r}={R}")
-    if cfg.attn_impl != "ring" or cfg.cp_axis != axis:
-        cfg = dataclasses.replace(cfg, attn_impl="ring", cp_axis=axis)
-    model = CausalTransformer(cfg)
+    model = CausalTransformer(cfg, dtype=dtype, param_dtype=param_dtype)
 
+    @jax.jit
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(), P(None, axis, None)),
@@ -59,4 +50,26 @@ def cp_transformer_apply(cfg: ArConfig, params: Any, z: jnp.ndarray, *,
     def run(p, z_shard):
         return model.apply(p, z_shard)
 
-    return run(params, z)
+    return run
+
+
+def cp_transformer_apply(cfg: ArConfig, params: Any, z: jnp.ndarray, *,
+                         mesh: Mesh, axis: str | None = None,
+                         dtype: Any = jnp.float32,
+                         param_dtype: Any = jnp.float32) -> jnp.ndarray:
+    """c = gar(z) with T sharded over `axis` (default: cfg.cp_axis).
+
+    z: GLOBAL (B, T, D); T must divide by the axis size. params are the
+    standard CausalTransformer tree (replicated — any checkpoint loads).
+    Output is the global (B, T, d_ar), sharded the same way. dtype/
+    param_dtype thread to the module (run bf16 pipelines at bf16 — the
+    T-sharded activations are the memory CP exists to split).
+    """
+    axis = axis or cfg.cp_axis
+    R = mesh.shape[axis]
+    T = z.shape[1]
+    if T % R:
+        raise ValueError(f"T={T} not divisible by mesh axis {axis!r}={R}")
+    if cfg.attn_impl != "ring" or cfg.cp_axis != axis:
+        cfg = dataclasses.replace(cfg, attn_impl="ring", cp_axis=axis)
+    return _cp_runner(cfg, mesh, axis, dtype, param_dtype)(params, z)

@@ -13,24 +13,11 @@ import pytest
 from cpc_tpu.config import ArConfig
 from cpc_tpu.models.transformer import CausalTransformer
 from cpc_tpu.ops.attention_pallas import flash_causal_mha
-
-
-def _ref_causal_mha(q, k, v):
-    """O(T^2) oracle: softmax((q k^T)/sqrt(Dh) + causal mask) v."""
-    Dh = q.shape[-1]
-    s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
-                   k.astype(jnp.float32)) / jnp.sqrt(Dh).astype(jnp.float32)
-    T = q.shape[1]
-    s = jnp.where(jnp.tril(jnp.ones((T, T), bool)), s, -1e30)
-    p = jax.nn.softmax(s, axis=-1)
-    return jnp.einsum("bhqk,bkhd->bqhd", p, v.astype(jnp.float32))
+from tests.oracles import ref_causal_mha as _ref_causal_mha, qkv as _base_qkv
 
 
 def _qkv(T, B=2, H=2, Dh=16, seed=0):
-    r = np.random.default_rng(seed)
-    shape = (B, T, H, Dh)
-    return tuple(jnp.asarray(r.standard_normal(shape), jnp.float32)
-                 for _ in range(3))
+    return _base_qkv(T, B=B, H=H, Dh=Dh, seed=seed)
 
 
 @pytest.mark.parametrize("T", [24, 100, 128, 200, 300])

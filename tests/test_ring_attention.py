@@ -16,22 +16,11 @@ from cpc_tpu.models.transformer import CausalTransformer
 from cpc_tpu.ops.attention_ring import ring_causal_mha
 from cpc_tpu.parallel.cp import cp_transformer_apply
 from cpc_tpu.parallel.mesh import make_mesh
-
-
-def _ref_causal_mha(q, k, v):
-    Dh = q.shape[-1]
-    s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
-                   k.astype(jnp.float32)) / jnp.sqrt(Dh).astype(jnp.float32)
-    T = q.shape[1]
-    s = jnp.where(jnp.tril(jnp.ones((T, T), bool)), s, -1e30)
-    p = jax.nn.softmax(s, axis=-1)
-    return jnp.einsum("bhqk,bkhd->bqhd", p, v.astype(jnp.float32))
+from tests.oracles import ref_causal_mha as _ref_causal_mha, qkv as _base_qkv
 
 
 def _qkv(T, B=2, H=2, Dh=8, seed=0):
-    r = np.random.default_rng(seed)
-    return tuple(jnp.asarray(r.standard_normal((B, T, H, Dh)), jnp.float32)
-                 for _ in range(3))
+    return _base_qkv(T, B=B, H=H, Dh=Dh, seed=seed)
 
 
 def _ring_global(q, k, v, mesh, axis="ctx"):
@@ -119,6 +108,12 @@ def test_cp_validation(mesh):
     with pytest.raises(ValueError, match="decode"):
         CausalTransformer(_cfg(64), decode=True).init(
             jax.random.PRNGKey(0), jnp.zeros((1, 1, 24), jnp.float32))
+    # plain (non-shard_map) apply of a ring-impl config must fail with an
+    # actionable error, not an unbound-axis trace error
+    m_ring = CausalTransformer(_cfg(64))
+    z64 = jnp.zeros((1, 64, 24), jnp.float32)
+    with pytest.raises(ValueError, match="shard_map"):
+        m_ring.init(jax.random.PRNGKey(0), z64)
     # max_len guards the GLOBAL sequence, not the local shard: a 128-long
     # sequence is only 16 per shard, but the table holds 64 positions
     m = CausalTransformer(_cfg(64, "xla"))

@@ -100,6 +100,18 @@ class CPCModel(nn.Module):
         """Standalone latents z (feature-extraction API, SURVEY.md §4.5)."""
         return self.encoder(x)
 
+    def context_from_z(self, z: jnp.ndarray,
+                       train: bool = False) -> jnp.ndarray:
+        """c from precomputed latents — the gar alone. Used by the
+        context-parallel composition (parallel/cp.py), where z arrives
+        already T-sharded inside shard_map."""
+        return self._gar(z, train)
+
+    def predict(self, c: jnp.ndarray) -> jnp.ndarray:
+        """K-step predictions from context: (B, T, K*d_enc), the fused
+        heads matmul un-reshaped (per-position — CP-safe)."""
+        return self.heads(c)
+
     def context(self, x: jnp.ndarray) -> jnp.ndarray:
         """Standalone context c (feature-extraction API, SURVEY.md §4.5)."""
         return self._gar(self.encoder(x), train=False)

@@ -23,6 +23,14 @@ Semantics match cpc_tpu.ops.infonce with negatives='all_steps' and
 axis_name set (the all-gather formulation): positive column for local row
 (t, k, i) is (axis_index*B + i)*T + (t+k+1) in the global pool; tested to
 equality on the virtual 8-device CPU mesh (tests/test_ring_infonce.py).
+
+The kernel itself (`_ring_nll`) is chunk-geometry-agnostic — it scores
+local prediction rows against whatever chunk decomposition rides the ring,
+given each row's GLOBAL positive column. Two wrappers instantiate it:
+`ring_infonce_allsteps` (DP: replicas own BATCH chunks) and
+`ring_infonce_allsteps_ctx` (context parallelism: devices own TIME chunks
+of the same batch — the loss half of parallel/cp.py, where a row's
+positive usually lives in a neighbor's chunk).
 """
 
 from __future__ import annotations
@@ -46,21 +54,21 @@ def _labels(B: int, Tp: int, K: int, T: int, shift):
     return (shift + i) * T + (t + k + 1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _ring_nll(p_flat, z_flat, shift, B, K, T, axis_name):
-    """p_flat (rows, D) local predictions in (t, k, i) order; z_flat
-    (B*T, D) local candidate chunk. Returns (nll, correct) per local row
-    against the GLOBAL ring pool."""
-    (nll, cor), _ = _ring_fwd(p_flat, z_flat, shift, B, K, T, axis_name)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _ring_nll(p_flat, z_flat, labels, axis_name):
+    """p_flat (rows, D) local predictions; z_flat (n_loc, D) local candidate
+    chunk; labels (rows,) GLOBAL positive column per row (col = owner*n_loc
+    + local index; -1 = no positive, the row is a masked filler). Returns
+    (nll, correct) per local row against the GLOBAL ring pool."""
+    (nll, cor), _ = _ring_fwd(p_flat, z_flat, labels, axis_name)
     return nll, cor
 
 
-def _ring_fwd(p_flat, z_flat, shift, B, K, T, axis_name):
+def _ring_fwd(p_flat, z_flat, labels, axis_name):
     rows, _ = p_flat.shape
     n_loc = z_flat.shape[0]
     R = jax.lax.axis_size(axis_name)
     me = jax.lax.axis_index(axis_name)
-    labels = _labels(B, rows // (K * B), K, T, shift)
     perm = [(j, (j + 1) % R) for j in range(R)]
     p32 = p_flat.astype(jnp.float32)
 
@@ -89,12 +97,14 @@ def _ring_fwd(p_flat, z_flat, shift, B, K, T, axis_name):
         z = jax.lax.ppermute(z, axis_name, perm)
         return (*stats, z), None
 
-    init = (jnp.full((rows,), _NEG, jnp.float32),
-            jnp.zeros((rows,), jnp.float32),
-            jnp.zeros((rows,), jnp.float32),
-            jnp.full((rows,), _NEG, jnp.float32),
-            jnp.full((rows,), jnp.iinfo(jnp.int32).max, jnp.int32),
-            z_flat)
+    # pcast: the stats become device-varying at the first fold (owner/labels
+    # depend on axis_index), so the scan carry must start marked varying
+    init = tuple(jax.lax.pcast(x, (axis_name,), to="varying") for x in (
+        jnp.full((rows,), _NEG, jnp.float32),
+        jnp.zeros((rows,), jnp.float32),
+        jnp.zeros((rows,), jnp.float32),
+        jnp.full((rows,), _NEG, jnp.float32),
+        jnp.full((rows,), jnp.iinfo(jnp.int32).max, jnp.int32))) + (z_flat,)
     # R-1 score+rotate steps, then the final chunk scored WITHOUT the
     # (discarded) last rotation — one chunk of ICI traffic saved per eval
     (m, l, slab, av, ai, z_last), _ = jax.lax.scan(
@@ -104,17 +114,16 @@ def _ring_fwd(p_flat, z_flat, shift, B, K, T, axis_name):
     lse = m + jnp.log(l)
     nll = lse - slab
     correct = (ai == labels).astype(jnp.float32)
-    return (nll, correct), (p_flat, z_flat, shift, lse)
+    return (nll, correct), (p_flat, z_flat, labels, lse)
 
 
-def _ring_bwd(B, K, T, axis_name, res, cots):
-    p_flat, z_flat, shift, lse = res
+def _ring_bwd(axis_name, res, cots):
+    p_flat, z_flat, labels, lse = res
     g_nll, _ = cots  # argmax accuracy is non-differentiable
     rows, D = p_flat.shape
     n_loc = z_flat.shape[0]
     R = jax.lax.axis_size(axis_name)
     me = jax.lax.axis_index(axis_name)
-    labels = _labels(B, rows // (K * B), K, T, shift)
     perm = [(j, (j + 1) % R) for j in range(R)]
     g = g_nll.astype(jnp.float32)
     p32 = p_flat.astype(jnp.float32)
@@ -138,15 +147,18 @@ def _ring_bwd(B, K, T, axis_name, res, cots):
         dz = jax.lax.ppermute(dz, axis_name, perm)
         return (dp, z, dz), None
 
-    init = (jnp.zeros((rows, D), jnp.float32), z_flat,
-            jnp.zeros((n_loc, D), jnp.float32))
+    init = (jax.lax.pcast(jnp.zeros((rows, D), jnp.float32), (axis_name,),
+                          to="varying"),
+            z_flat,
+            jax.lax.pcast(jnp.zeros((n_loc, D), jnp.float32), (axis_name,),
+                          to="varying"))
     (dp, z_last, dz), _ = jax.lax.scan(step, init,
                                        jnp.arange(R - 1, dtype=jnp.int32))
     # final chunk: accumulate, then one last dz rotation brings it home —
     # z itself no longer needs to move
     dp, dz = contribute(dp, z_last, dz, jnp.asarray(R - 1, jnp.int32))
     dz = jax.lax.ppermute(dz, axis_name, perm)
-    return dp.astype(p_flat.dtype), dz.astype(z_flat.dtype), None
+    return dp.astype(p_flat.dtype), dz.astype(z_flat.dtype), None  # labels int
 
 
 _ring_nll.defvjp(_ring_fwd, _ring_bwd)
@@ -167,7 +179,55 @@ def ring_infonce_allsteps(
     shift = jax.lax.axis_index(axis_name) * B
     p_flat = preds_v.transpose(1, 2, 0, 3).reshape(Tp * K * B, D)
     z_flat = z.reshape(B * T, D)
-    nll, correct = _ring_nll(p_flat, z_flat, shift, B, K, T, axis_name)
+    labels = _labels(B, Tp, K, T, shift)
+    nll, correct = _ring_nll(p_flat, z_flat, labels, axis_name)
     loss = jnp.mean(nll)
     acc = jnp.mean(correct.reshape(Tp, K, B), axis=(0, 2))
+    return loss, {"loss": loss, "acc": acc, "acc_mean": jnp.mean(acc)}
+
+
+def ring_infonce_allsteps_ctx(
+    preds: jnp.ndarray,  # (B, T_loc, K, D) predictions for LOCAL steps
+    z: jnp.ndarray,      # (B, T_loc, D) local TIME chunk of the latents
+    *,
+    axis_name: str,
+) -> Tuple[jnp.ndarray, dict]:
+    """All-steps InfoNCE with the TIME axis sharded — the loss half of
+    context parallelism (parallel/cp.py; the batch-sharded DP twin is
+    ring_infonce_allsteps above; same kernel, different chunk geometry).
+
+    Device d of R holds steps [d*T_loc, (d+1)*T_loc) of every sequence.
+    The candidate pool is the full B * (R*T_loc) global set, swept around
+    the same ppermute ring; a prediction's positive z_{t+k+1} usually
+    lives in ANOTHER device's chunk, which the ring visits. Rows outside
+    the uniform context window t_global < T_global - K (only the last
+    device has any) carry label -1 — they match no column, take zero
+    cotangent through the valid-row mask, and are excluded from the
+    psum-ed global means. Returns the GLOBAL loss/acc (identical on every
+    device) matching infonce_loss_and_metrics(negatives='all_steps') on
+    the gathered arrays."""
+    B, T_loc, K, D = preds.shape
+    R = jax.lax.axis_size(axis_name)
+    me = jax.lax.axis_index(axis_name)
+    T_glob = R * T_loc
+    # rows ordered (t, k, i), matching the DP wrapper
+    p_flat = preds.transpose(1, 2, 0, 3).reshape(T_loc * K * B, D)
+    z_flat = z.reshape(B * T_loc, D)
+    r = jnp.arange(T_loc * K * B)
+    i = r % B
+    tk = r // B
+    k = tk % K
+    t_glob = me * T_loc + tk // K
+    t_tgt = t_glob + k + 1
+    labels = ((t_tgt // T_loc) * (B * T_loc) + i * T_loc + t_tgt % T_loc)
+    valid = t_glob < T_glob - K
+    labels = jnp.where(valid, labels, -1)
+    nll, correct = _ring_nll(p_flat, z_flat, labels, axis_name)
+    w = valid.astype(jnp.float32)
+    n_valid = jax.lax.psum(jnp.sum(w), axis_name)
+    loss = jax.lax.psum(jnp.sum(nll * w), axis_name) / n_valid
+    ck = (correct * w).reshape(T_loc, K, B)
+    wk = w.reshape(T_loc, K, B)
+    acc = (jax.lax.psum(jnp.sum(ck, axis=(0, 2)), axis_name)
+           / jax.lax.psum(jnp.sum(wk, axis=(0, 2)), axis_name))
     return loss, {"loss": loss, "acc": acc, "acc_mean": jnp.mean(acc)}

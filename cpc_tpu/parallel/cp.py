@@ -73,3 +73,60 @@ def cp_transformer_apply(cfg: ArConfig, params: Any, z: jnp.ndarray, *,
     if cfg.attn_impl != "ring" or cfg.cp_axis != axis:
         cfg = dataclasses.replace(cfg, attn_impl="ring", cp_axis=axis)
     return _cp_runner(cfg, mesh, axis, dtype, param_dtype)(params, z)
+
+
+@functools.lru_cache(maxsize=32)
+def _cp_loss_runner(model_cfg, mesh: Mesh, axis: str):
+    from cpc_tpu.models.cpc import CPCModel
+    from cpc_tpu.ops.infonce_ring import ring_infonce_allsteps_ctx
+
+    ar = model_cfg.ar
+    if ar.kind != "transformer":
+        raise ValueError(
+            "context parallelism shards the transformer gar; the GRU's "
+            f"recurrence is inherently sequential (got ar.kind={ar.kind!r})")
+    if ar.attn_impl != "ring" or ar.cp_axis != axis:
+        model_cfg = dataclasses.replace(
+            model_cfg, ar=dataclasses.replace(ar, attn_impl="ring",
+                                              cp_axis=axis))
+    model = CPCModel(model_cfg)
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(None, axis, None)),
+        out_specs=(P(), P()))
+    def run(params, z_shard):
+        # gar (ring attention) + the fused K-head Dense are per-position on
+        # the local chunk; the loss sweeps the global pool on the same ring
+        c = model.apply(params, z_shard, method=CPCModel.context_from_z)
+        K = model_cfg.loss.prediction_steps
+        D = model_cfg.encoder.d_enc
+        B, T_loc, _ = c.shape
+        preds = model.apply(params, c, method=CPCModel.predict).reshape(
+            B, T_loc, K, D)
+        loss, metrics = ring_infonce_allsteps_ctx(preds, z_shard,
+                                                  axis_name=axis)
+        return loss, metrics
+
+    return run
+
+
+def cp_cpc_loss_and_metrics(model_cfg, params, z: jnp.ndarray, *,
+                            mesh: Mesh, axis: str | None = None):
+    """The full CPC loss path, context-parallel: gar (ring attention) →
+    prediction heads → all-steps InfoNCE over the GLOBAL B*T pool
+    (ops/infonce_ring.ring_infonce_allsteps_ctx), with z (B, T, D) sharded
+    along T and params replicated. Returns (loss, metrics) — global scalars,
+    differentiable w.r.t. params and z; equal to the single-device
+    infonce_loss_and_metrics(negatives='all_steps') on the same arrays
+    (tests/test_ring_attention.py). Production note: encode audio
+    data-parallel (the conv fields are strictly local in time), reshard
+    (B, T, D) → T-sharded once, then this is the training step's loss half.
+    """
+    axis = axis or model_cfg.ar.cp_axis
+    R = mesh.shape[axis]
+    if z.shape[1] % R:
+        raise ValueError(f"T={z.shape[1]} not divisible by mesh axis "
+                         f"{axis!r}={R}")
+    return _cp_loss_runner(model_cfg, mesh, axis)(params, z)

@@ -122,3 +122,78 @@ def test_cp_validation(mesh):
     with pytest.raises(ValueError, match="global sequence"):
         cp_transformer_apply(_cfg(64), params,
                              jnp.zeros((1, 128, 24), jnp.float32), mesh=mesh)
+
+
+# --- context-parallel loss: time-sharded all-steps InfoNCE ----------------
+
+def _ctx_loss_global(preds, z, mesh, axis="ctx"):
+    from cpc_tpu.ops.infonce_ring import ring_infonce_allsteps_ctx
+    fn = functools.partial(ring_infonce_allsteps_ctx, axis_name=axis)
+    return jax.jit(jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(None, axis, None, None), P(None, axis, None)),
+        out_specs=(P(), P())))(preds, z)
+
+
+def test_ctx_ring_infonce_equals_allsteps(mesh):
+    """Time-sharded ring pool == the gathered all_steps reference: loss,
+    per-k accuracy, and gradients."""
+    from cpc_tpu.ops.infonce import infonce_loss_and_metrics
+    B, T, K, D = 3, 8 * 6, 4, 16
+    r = np.random.default_rng(0)
+    preds = jnp.asarray(r.standard_normal((B, T, K, D)), jnp.float32)
+    z = jnp.asarray(r.standard_normal((B, T, D)), jnp.float32)
+
+    want_loss, want_m = infonce_loss_and_metrics(preds, z,
+                                                 negatives="all_steps")
+    got_loss, got_m = _ctx_loss_global(preds, z, mesh)
+    np.testing.assert_allclose(got_loss, want_loss, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(got_m["acc"], want_m["acc"], rtol=0, atol=0)
+
+    g_want = jax.grad(lambda p, zz: infonce_loss_and_metrics(
+        p, zz, negatives="all_steps")[0], argnums=(0, 1))(preds, z)
+    g_got = jax.grad(lambda p, zz: _ctx_loss_global(p, zz, mesh)[0],
+                     argnums=(0, 1))(preds, z)
+    for a, b, name in zip(g_got, g_want, ("dpreds", "dz")):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5, err_msg=name)
+
+
+def test_cp_cpc_loss_equals_single_device(mesh):
+    """gar (ring attention) + heads + time-sharded all-steps InfoNCE ==
+    the single-device CPC loss path, values AND parameter gradients."""
+    from cpc_tpu.config import EncoderConfig, LossConfig, ModelConfig
+    from cpc_tpu.models.cpc import CPCModel
+    from cpc_tpu.ops.infonce import infonce_loss_and_metrics
+    from cpc_tpu.parallel.cp import cp_cpc_loss_and_metrics
+
+    T = 8 * 8
+    mcfg = ModelConfig(
+        encoder=EncoderConfig(channels=(8, 16), kernels=(4, 4),
+                              strides=(2, 2), d_enc=16),
+        ar=ArConfig(kind="transformer", d_ar=16, num_layers=1, num_heads=2,
+                    max_len=T),
+        loss=LossConfig(prediction_steps=3))
+    model = CPCModel(mcfg)
+    x = jnp.asarray(np.random.default_rng(5).standard_normal((2, T * 4)),
+                    jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    z = model.apply(params, x, method=CPCModel.encode)
+    assert z.shape[1] == T
+
+    def ref_loss(p):
+        out = model.apply(p, x)
+        return infonce_loss_and_metrics(out.preds, out.z,
+                                        negatives="all_steps")[0]
+
+    def cp_loss(p):
+        zz = model.apply(p, x, method=CPCModel.encode)
+        return cp_cpc_loss_and_metrics(mcfg, p, zz, mesh=mesh)[0]
+
+    np.testing.assert_allclose(cp_loss(params), ref_loss(params),
+                               rtol=1e-5, atol=1e-6)
+    g_ref = jax.grad(ref_loss)(params)
+    g_cp = jax.grad(cp_loss)(params)
+    flat_r, _ = jax.tree_util.tree_flatten(g_ref)
+    flat_c, _ = jax.tree_util.tree_flatten(g_cp)
+    for a, b in zip(flat_c, flat_r):
+        np.testing.assert_allclose(a, b, rtol=5e-5, atol=5e-5)

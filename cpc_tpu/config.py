@@ -247,6 +247,78 @@ def from_dict(d: dict) -> CPCConfig:
     return build(CPCConfig, d)
 
 
+def apply_overrides(cfg: CPCConfig, overrides) -> CPCConfig:
+    """cfg with 'dotted.path=value' strings applied — the CLI's `--set`.
+
+    Every knob in the frozen config tree is reachable without writing a
+    preset: `--set model.ar.attn_impl=flash16 --set train.learning_rate=3e-4
+    --set model.encoder.channels=256,256,512`. Values coerce to the FIELD's
+    annotated type (int/float/bool/str; comma-separated for tuples;
+    'none' clears an Optional). Unknown paths and uncoercible values raise
+    with the full path — same contract as from_dict's unknown-key check.
+    """
+    import typing
+
+    def scalar(raw, t, full):
+        if t is bool:
+            low = raw.lower()
+            if low in ("1", "true", "yes", "on"):
+                return True
+            if low in ("0", "false", "no", "off"):
+                return False
+            raise ValueError(f"--set {full}: {raw!r} is not a bool")
+        if t in (int, float, str):
+            try:
+                return t(raw)
+            except ValueError as e:
+                raise ValueError(f"--set {full}: {e}") from e
+        raise ValueError(f"--set {full}: fields of type {t} are not "
+                         f"settable from the command line")
+
+    def coerce(raw, t, full):
+        origin = typing.get_origin(t)
+        if origin is typing.Union:  # Optional[X]
+            args = [a for a in typing.get_args(t) if a is not type(None)]
+            if raw.lower() in ("none", "null"):
+                return None
+            t = args[0]
+            origin = typing.get_origin(t)
+        if origin is tuple:
+            et = next((a for a in typing.get_args(t)
+                       if a is not Ellipsis), int)
+            if typing.get_origin(et) is not None:
+                raise ValueError(f"--set {full}: nested-tuple fields are "
+                                 f"not settable from the command line")
+            return tuple(scalar(e, et, full)
+                         for e in raw.split(",") if e != "")
+        return scalar(raw, t, full)
+
+    def set_path(node, keys, raw, full):
+        k = keys[0]
+        fields = {f.name for f in dataclasses.fields(node)}
+        if k not in fields:
+            raise ValueError(
+                f"--set {full}: {type(node).__name__} has no field {k!r} "
+                f"(has: {sorted(fields)})")
+        cur = getattr(node, k)
+        if len(keys) > 1:
+            if not dataclasses.is_dataclass(cur):
+                raise ValueError(f"--set {full}: {k!r} is a leaf field, "
+                                 f"not a config section")
+            return dataclasses.replace(
+                node, **{k: set_path(cur, keys[1:], raw, full)})
+        import typing
+        t = typing.get_type_hints(type(node))[k]
+        return dataclasses.replace(node, **{k: coerce(raw, t, full)})
+
+    for ov in overrides:
+        if "=" not in ov:
+            raise ValueError(f"--set expects dotted.path=value, got {ov!r}")
+        path, raw = ov.split("=", 1)
+        cfg = set_path(cfg, path.split("."), raw, path)
+    return cfg
+
+
 class presets:
     """Named presets, one per BASELINE.json config (lines 6-12)."""
 

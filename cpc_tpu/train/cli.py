@@ -101,6 +101,14 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--profile", action="store_true",
                    help="wrap training in a jax.profiler trace "
                         "(written to <workdir>/profile)")
+    p.add_argument("--set", action="append", default=[], metavar="PATH=VAL",
+                   dest="overrides",
+                   help="override any config field by dotted path, e.g. "
+                        "--set model.ar.attn_impl=flash16 "
+                        "--set train.learning_rate=3e-4 "
+                        "--set model.encoder.channels=256,256,512; applied "
+                        "last (wins over the preset and dedicated flags); "
+                        "repeatable")
     p.add_argument("--nan-debug", action="store_true",
                    help="raise on the first NaN inside jitted code")
     return p
@@ -156,6 +164,9 @@ def main(argv=None) -> int:
         if flag is not None:
             cfg = dataclasses.replace(
                 cfg, train=dataclasses.replace(cfg.train, **{field: flag}))
+    if args.overrides:
+        from cpc_tpu.config import apply_overrides
+        cfg = apply_overrides(cfg, args.overrides)
 
     if args.data in ("synthetic", "synthetic-music"):
         corpus = os.path.join(args.workdir, "synthetic_corpus")

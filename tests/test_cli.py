@@ -104,3 +104,61 @@ def test_train_cli_distributed_flags(tmp_path, monkeypatch):
 
     with pytest.raises(SystemExit):
         train_main(["--coordinator=127.0.0.1:1234"])  # missing nprocs/pid
+
+
+def test_apply_overrides_types_and_errors():
+    """--set coercion: every leaf type, tuples, Optional-none, and loud
+    failures on unknown paths / bad values."""
+    import dataclasses
+
+    import pytest
+
+    from cpc_tpu.config import apply_overrides, presets
+
+    cfg = presets.baseline()
+    got = apply_overrides(cfg, [
+        "model.ar.attn_impl=flash16",          # str
+        "model.ar.num_layers=3",               # int
+        "train.learning_rate=3e-4",            # float
+        "data.augment=true",                   # bool
+        "model.encoder.channels=64,64,128",    # tuple[int]
+    ])
+    assert got.model.ar.attn_impl == "flash16"
+    assert got.model.ar.num_layers == 3
+    assert got.train.learning_rate == 3e-4
+    assert got.data.augment is True
+    assert got.model.encoder.channels == (64, 64, 128)
+    assert cfg.model.ar.num_layers != 3  # original untouched (frozen tree)
+
+    opt = apply_overrides(cfg, ["data.snippet_stride=1024"])  # Optional[int]
+    assert opt.data.snippet_stride == 1024
+    assert apply_overrides(opt, ["data.snippet_stride=none"]
+                           ).data.snippet_stride is None
+
+    for bad, msg in [
+        ("model.ar.nope=1", "no field"),
+        ("model.nope.d_ar=1", "no field"),
+        ("model.ar.num_layers.x=1", "leaf field"),
+        ("model.ar.num_layers=abc", "invalid literal"),
+        ("data.augment=maybe", "not a bool"),
+        ("justnovalue", "dotted.path=value"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            apply_overrides(cfg, [bad])
+
+
+def test_train_cli_set_overrides(tmp_path):
+    """--set reaches fields no dedicated flag covers and persists them."""
+    wd = str(tmp_path / "runset")
+    rc = train_main([
+        "--config=baseline", "--data=synthetic", f"--workdir={wd}",
+        "--steps=2", "--batch-size=8", "--snippet-samples=4000",
+        "--set", "model.loss.prediction_steps=5",
+        "--set", "train.log_every=1",
+    ])
+    assert rc == 0
+    saved = json.load(open(os.path.join(wd, "config.json")))
+    assert saved["model"]["loss"]["prediction_steps"] == 5
+    lines = [json.loads(l) for l in
+             open(os.path.join(wd, "metrics.jsonl"))]
+    assert len(lines[-1]["acc"]) == 5  # K actually changed the run

@@ -92,6 +92,11 @@ def main() -> None:
     p.add_argument("--probe-seeds", type=int, default=3,
                    help="probe train/eval-split seeds per milestone; "
                         "speaker_acc is reported mean +/- std across them")
+    p.add_argument("--set", action="append", default=[], dest="overrides",
+                   metavar="PATH=VAL",
+                   help="dotted-path config override applied last (e.g. "
+                        "--set model.ar.attn_impl=flash16) — "
+                        "cpc_tpu.config.apply_overrides")
     p.add_argument("--workdir", default="/tmp/probe_study")
     args = p.parse_args()
     milestones = sorted(int(s) for s in args.milestones.split(","))
@@ -139,6 +144,9 @@ def main() -> None:
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(
             cfg.model, loss=dataclasses.replace(
                 cfg.model.loss, negatives=args.negatives)))
+    if args.overrides:
+        from cpc_tpu.config import apply_overrides
+        cfg = apply_overrides(cfg, args.overrides)
 
     corpus = args.corpus
     if corpus is None:

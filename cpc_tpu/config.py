@@ -307,7 +307,6 @@ def apply_overrides(cfg: CPCConfig, overrides) -> CPCConfig:
                                  f"not a config section")
             return dataclasses.replace(
                 node, **{k: set_path(cur, keys[1:], raw, full)})
-        import typing
         t = typing.get_type_hints(type(node))[k]
         return dataclasses.replace(node, **{k: coerce(raw, t, full)})
 

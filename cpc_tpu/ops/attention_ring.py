@@ -48,6 +48,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from cpc_tpu.ops.ring_util import pvary, ring_perm
+
 _NEG = -1e30
 
 
@@ -69,7 +71,7 @@ def _ring_fwd(q, k, v, scale, axis_name):
     BH, T_loc, Dh = q.shape
     R = jax.lax.axis_size(axis_name)
     me = jax.lax.axis_index(axis_name)
-    perm = [(j, (j + 1) % R) for j in range(R)]
+    perm = ring_perm(axis_name)
     q32 = q.astype(jnp.float32)
 
     def fold(stats, kc, vc, r):
@@ -101,7 +103,7 @@ def _ring_fwd(q, k, v, scale, axis_name):
     # pcast: the running stats become device-varying after the first fold
     # (the causal mask depends on axis_index), so the scan carry must start
     # marked varying over the ring axis too
-    init = tuple(jax.lax.pcast(x, (axis_name,), to="varying") for x in (
+    init = tuple(pvary(x, axis_name) for x in (
         jnp.full((BH, T_loc), _NEG, jnp.float32),
         jnp.zeros((BH, T_loc), jnp.float32),
         jnp.zeros((BH, T_loc, Dh), jnp.float32))) + (k, v)
@@ -126,7 +128,7 @@ def _ring_bwd_rule(scale, axis_name, res, g):
     BH, T_loc, Dh = q.shape
     R = jax.lax.axis_size(axis_name)
     me = jax.lax.axis_index(axis_name)
-    perm = [(j, (j + 1) % R) for j in range(R)]
+    perm = ring_perm(axis_name)
     q32 = q.astype(jnp.float32)
     do = g.astype(jnp.float32)
     dres = jnp.sum(do * o.astype(jnp.float32), axis=-1)  # (BH, T_loc)
@@ -163,8 +165,7 @@ def _ring_bwd_rule(scale, axis_name, res, g):
                           for x in (kc, vc, dk, dv))
         return (dq, kc, vc, dk, dv), None
 
-    zero = jax.lax.pcast(jnp.zeros((BH, T_loc, Dh), jnp.float32),
-                         (axis_name,), to="varying")
+    zero = pvary(jnp.zeros((BH, T_loc, Dh), jnp.float32), axis_name)
     init = (zero, k, v, zero, zero)
     (dq, k_last, v_last, dk, dv), _ = jax.lax.scan(
         step, init, jnp.arange(R - 1, dtype=jnp.int32))

@@ -41,6 +41,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from cpc_tpu.ops.ring_util import pvary, ring_perm
+
 _NEG = -1e30
 
 
@@ -69,7 +71,7 @@ def _ring_fwd(p_flat, z_flat, labels, axis_name):
     n_loc = z_flat.shape[0]
     R = jax.lax.axis_size(axis_name)
     me = jax.lax.axis_index(axis_name)
-    perm = [(j, (j + 1) % R) for j in range(R)]
+    perm = ring_perm(axis_name)
     p32 = p_flat.astype(jnp.float32)
 
     def fold(carry, z, r):
@@ -99,7 +101,7 @@ def _ring_fwd(p_flat, z_flat, labels, axis_name):
 
     # pcast: the stats become device-varying at the first fold (owner/labels
     # depend on axis_index), so the scan carry must start marked varying
-    init = tuple(jax.lax.pcast(x, (axis_name,), to="varying") for x in (
+    init = tuple(pvary(x, axis_name) for x in (
         jnp.full((rows,), _NEG, jnp.float32),
         jnp.zeros((rows,), jnp.float32),
         jnp.zeros((rows,), jnp.float32),
@@ -124,7 +126,7 @@ def _ring_bwd(axis_name, res, cots):
     n_loc = z_flat.shape[0]
     R = jax.lax.axis_size(axis_name)
     me = jax.lax.axis_index(axis_name)
-    perm = [(j, (j + 1) % R) for j in range(R)]
+    perm = ring_perm(axis_name)
     g = g_nll.astype(jnp.float32)
     p32 = p_flat.astype(jnp.float32)
 
@@ -147,11 +149,9 @@ def _ring_bwd(axis_name, res, cots):
         dz = jax.lax.ppermute(dz, axis_name, perm)
         return (dp, z, dz), None
 
-    init = (jax.lax.pcast(jnp.zeros((rows, D), jnp.float32), (axis_name,),
-                          to="varying"),
+    init = (pvary(jnp.zeros((rows, D), jnp.float32), axis_name),
             z_flat,
-            jax.lax.pcast(jnp.zeros((n_loc, D), jnp.float32), (axis_name,),
-                          to="varying"))
+            pvary(jnp.zeros((n_loc, D), jnp.float32), axis_name))
     (dp, z_last, dz), _ = jax.lax.scan(step, init,
                                        jnp.arange(R - 1, dtype=jnp.int32))
     # final chunk: accumulate, then one last dz rotation brings it home —
@@ -205,7 +205,10 @@ def ring_infonce_allsteps_ctx(
     cotangent through the valid-row mask, and are excluded from the
     psum-ed global means. Returns the GLOBAL loss/acc (identical on every
     device) matching infonce_loss_and_metrics(negatives='all_steps') on
-    the gathered arrays."""
+    the gathered arrays — except argmax TIES in the accuracy metric: the
+    ring pool is time-chunk-major while the gathered pool is batch-major,
+    so a bit-exact score tie can crown a different (equally maximal)
+    winner; loss and gradients are order-invariant and unaffected."""
     B, T_loc, K, D = preds.shape
     R = jax.lax.axis_size(axis_name)
     me = jax.lax.axis_index(axis_name)

@@ -66,13 +66,22 @@ def cp_transformer_apply(cfg: ArConfig, params: Any, z: jnp.ndarray, *,
     T-sharded activations are the memory CP exists to split).
     """
     axis = axis or cfg.cp_axis
-    R = mesh.shape[axis]
+    R = _axis_size(mesh, axis)
     T = z.shape[1]
     if T % R:
         raise ValueError(f"T={T} not divisible by mesh axis {axis!r}={R}")
     if cfg.attn_impl != "ring" or cfg.cp_axis != axis:
         cfg = dataclasses.replace(cfg, attn_impl="ring", cp_axis=axis)
     return _cp_runner(cfg, mesh, axis, dtype, param_dtype)(params, z)
+
+
+def _axis_size(mesh: Mesh, axis: str) -> int:
+    if axis not in mesh.shape:
+        raise ValueError(
+            f"mesh has no {axis!r} axis (axes: {tuple(mesh.shape)}); build "
+            f"one with make_mesh((-1,), ({axis!r},)) or pass axis=... "
+            f"naming an existing mesh axis to shard T over")
+    return mesh.shape[axis]
 
 
 @functools.lru_cache(maxsize=32)
@@ -85,6 +94,12 @@ def _cp_loss_runner(model_cfg, mesh: Mesh, axis: str):
         raise ValueError(
             "context parallelism shards the transformer gar; the GRU's "
             f"recurrence is inherently sequential (got ar.kind={ar.kind!r})")
+    if model_cfg.loss.negatives != "all_steps":
+        raise ValueError(
+            "the CP loss sweeps the all_steps pool by construction; set "
+            f"loss.negatives='all_steps' (got {model_cfg.loss.negatives!r} — "
+            "same_step has no time-sharded formulation: its candidates all "
+            "live at one target step, i.e. on a single device)")
     if ar.attn_impl != "ring" or ar.cp_axis != axis:
         model_cfg = dataclasses.replace(
             model_cfg, ar=dataclasses.replace(ar, attn_impl="ring",
@@ -125,7 +140,7 @@ def cp_cpc_loss_and_metrics(model_cfg, params, z: jnp.ndarray, *,
     (B, T, D) → T-sharded once, then this is the training step's loss half.
     """
     axis = axis or model_cfg.ar.cp_axis
-    R = mesh.shape[axis]
+    R = _axis_size(mesh, axis)
     if z.shape[1] % R:
         raise ValueError(f"T={z.shape[1]} not divisible by mesh axis "
                          f"{axis!r}={R}")

@@ -172,7 +172,7 @@ def test_cp_cpc_loss_equals_single_device(mesh):
                               strides=(2, 2), d_enc=16),
         ar=ArConfig(kind="transformer", d_ar=16, num_layers=1, num_heads=2,
                     max_len=T),
-        loss=LossConfig(prediction_steps=3))
+        loss=LossConfig(prediction_steps=3, negatives="all_steps"))
     model = CPCModel(mcfg)
     x = jnp.asarray(np.random.default_rng(5).standard_normal((2, T * 4)),
                     jnp.float32)

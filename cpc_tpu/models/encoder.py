@@ -14,7 +14,7 @@ ReLU. TPU-first design notes:
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -45,13 +45,25 @@ class _BatchStatsNorm(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     eps: float = 1e-5
+    axis_name: Optional[str] = None  # psum stats over this mesh axis (CP:
+    # the time axis is sharded, but BN stats span the GLOBAL (B, T) set)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         red = tuple(range(x.ndim - 1))
         x32 = x.astype(jnp.float32)
-        mean = jnp.mean(x32, axis=red, keepdims=True)
-        var = jnp.var(x32, axis=red, keepdims=True)
+        if self.axis_name is not None:
+            n = jax.lax.psum(
+                jnp.asarray(x32.size // x32.shape[-1], jnp.float32),
+                self.axis_name)
+            mean = jax.lax.psum(jnp.sum(x32, axis=red, keepdims=True),
+                                self.axis_name) / n
+            var = jax.lax.psum(
+                jnp.sum((x32 - mean) ** 2, axis=red, keepdims=True),
+                self.axis_name) / n
+        else:
+            mean = jnp.mean(x32, axis=red, keepdims=True)
+            var = jnp.var(x32, axis=red, keepdims=True)
         scale = self.param("scale", nn.initializers.ones, (x.shape[-1],),
                            self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],),
@@ -61,20 +73,26 @@ class _BatchStatsNorm(nn.Module):
         return y.astype(self.dtype)
 
 
-def _norm_layer(norm: str, i: int, ch: int, dtype, param_dtype):
+def _norm_layer(norm: str, i: int, ch: int, dtype, param_dtype,
+                cp_axis: Optional[str] = None):
     """Norm module for layer i, or None. Unknown values raise — a norm knob
-    that silently does nothing is worse than an error (VERDICT r1 #4)."""
+    that silently does nothing is worse than an error (VERDICT r1 #4).
+    LayerNorm/GroupNorm are per-position (CP-local); batch-stats norm under
+    CP psums its statistics so they span the global (B, T) set."""
     if norm == "none":
         return None
     if norm == "layer":
         return nn.LayerNorm(dtype=dtype, param_dtype=param_dtype,
                             name=f"norm{i}")
     if norm == "group":
+        # GroupNorm reduces over (T, grouped channels) — NOT per-position —
+        # so under CP its statistics must combine across the time shards
         return nn.GroupNorm(num_groups=min(32, ch), dtype=dtype,
-                            param_dtype=param_dtype, name=f"norm{i}")
+                            param_dtype=param_dtype, axis_name=cp_axis,
+                            name=f"norm{i}")
     if norm == "batch":
         return _BatchStatsNorm(dtype=dtype, param_dtype=param_dtype,
-                               name=f"norm{i}")
+                               axis_name=cp_axis, name=f"norm{i}")
     raise ValueError(
         f"unknown encoder norm {norm!r}; use none|layer|group|batch")
 
@@ -105,11 +123,21 @@ class ConvEncoder(nn.Module):
 
     With config.use_pallas (SAME padding, no norm, relu), the whole pyramid
     runs as ONE fused Pallas kernel (cpc_tpu.ops.conv_pallas) — intermediate
-    activations never touch HBM."""
+    activations never touch HBM.
+
+    With cp_axis set (context parallelism, parallel/cp.py), x is this
+    device's TIME shard and every conv layer exchanges exactly its SAME-
+    padding halo with its ring neighbors (pad_l samples leftward, pad_r
+    rightward; the global edges keep the zeros SAME would insert), then
+    runs padding-free — bit-equal to the global forward, with per-layer
+    ICI traffic of a few samples. Requires padding='SAME' (VALID's ragged
+    output length does not chunk evenly), use_pallas=False, and the local
+    T divisible by prod(strides)."""
 
     config: EncoderConfig
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    cp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -118,6 +146,8 @@ class ConvEncoder(nn.Module):
             x = x[..., None]  # (B, T, 1)
         x = x.astype(self.dtype)
         act = _activation(cfg.activation)
+        if self.cp_axis is not None:
+            return self._cp_forward(x, act)
         if cfg.use_pallas:
             if (cfg.padding != "SAME" or cfg.norm != "none"
                     or cfg.activation != "relu"):
@@ -150,6 +180,56 @@ class ConvEncoder(nn.Module):
                 name=f"conv{i}",
             )(x)
             norm = _norm_layer(cfg.norm, i, ch, self.dtype, self.param_dtype)
+            if norm is not None:
+                x = norm(x)
+            x = act(x)
+        return x
+
+    def _cp_forward(self, x: jnp.ndarray, act) -> jnp.ndarray:
+        cfg = self.config
+        if cfg.padding != "SAME" or cfg.use_pallas:
+            raise ValueError(
+                "CP encoder requires padding='SAME' and use_pallas=False "
+                f"(got padding={cfg.padding!r}, use_pallas={cfg.use_pallas})")
+        axis = self.cp_axis
+        R = jax.lax.axis_size(axis)
+        me = jax.lax.axis_index(axis)
+        stride_prod = 1
+        for s in cfg.strides:
+            stride_prod *= s
+        if x.shape[1] % stride_prod:
+            raise ValueError(
+                f"CP encoder: local T {x.shape[1]} must divide by "
+                f"prod(strides)={stride_prod}")
+        fwd = [(j, (j + 1) % R) for j in range(R)]
+        bwd = [((j + 1) % R, j) for j in range(R)]
+        for i, (ch, k, s) in enumerate(
+                zip(cfg.channels, cfg.kernels, cfg.strides)):
+            # SAME splits max(k - s, 0) zeros as (total//2, rest); interior
+            # devices receive REAL samples there instead — exchanged below
+            pad = max(k - s, 0)
+            pad_l, pad_r = pad // 2, pad - pad // 2
+            parts = []
+            if pad_l:
+                left = jax.lax.ppermute(x[:, -pad_l:], axis, fwd)
+                parts.append(jnp.where(me == 0, jnp.zeros_like(left), left))
+            parts.append(x)
+            if pad_r:
+                right = jax.lax.ppermute(x[:, :pad_r], axis, bwd)
+                parts.append(jnp.where(me == R - 1, jnp.zeros_like(right),
+                                       right))
+            x = jnp.concatenate(parts, axis=1) if len(parts) > 1 else x
+            x = nn.Conv(
+                features=ch,
+                kernel_size=(k,),
+                strides=(s,),
+                padding="VALID",  # the halo IS the padding
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"conv{i}",
+            )(x)
+            norm = _norm_layer(cfg.norm, i, ch, self.dtype, self.param_dtype,
+                               cp_axis=axis)
             if norm is not None:
                 x = norm(x)
             x = act(x)

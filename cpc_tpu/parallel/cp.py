@@ -75,6 +75,77 @@ def cp_transformer_apply(cfg: ArConfig, params: Any, z: jnp.ndarray, *,
     return _cp_runner(cfg, mesh, axis, dtype, param_dtype)(params, z)
 
 
+@functools.lru_cache(maxsize=32)
+def _cp_audio_runner(model_cfg, mesh: Mesh, axis: str):
+    from cpc_tpu.models.cpc import CPCModel, _dtype
+    from cpc_tpu.models.encoder import ConvEncoder
+    from cpc_tpu.ops.infonce_ring import ring_infonce_allsteps_ctx
+
+    _validate_cp_model(model_cfg)
+    if model_cfg.encoder.kind != "conv1d":
+        raise ValueError(
+            "CP-from-audio shards the conv1d encoder with halo exchange; "
+            f"encoder.kind={model_cfg.encoder.kind!r} (scalogram framing "
+            "spans window boundaries — encode it data-parallel and use "
+            "cp_cpc_loss_and_metrics on the latents)")
+    ar = model_cfg.ar
+    if ar.attn_impl != "ring" or ar.cp_axis != axis:
+        model_cfg = dataclasses.replace(
+            model_cfg, ar=dataclasses.replace(ar, attn_impl="ring",
+                                              cp_axis=axis))
+    dt, pdt = _dtype(model_cfg.dtype), _dtype(model_cfg.param_dtype)
+    enc = ConvEncoder(model_cfg.encoder, dtype=dt, param_dtype=pdt,
+                      cp_axis=axis)
+    model = CPCModel(model_cfg)
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(None, axis)),
+        out_specs=(P(), P()))
+    def run(params, x_shard):
+        z = enc.apply({"params": params["params"]["encoder"]}, x_shard)
+        c = model.apply(params, z, method=CPCModel.context_from_z)
+        K = model_cfg.loss.prediction_steps
+        B, T_loc, _ = c.shape
+        preds = model.apply(params, c, method=CPCModel.predict).reshape(
+            B, T_loc, K, model_cfg.encoder.d_enc)
+        return ring_infonce_allsteps_ctx(preds, z, axis_name=axis)
+
+    return run
+
+
+def cp_cpc_loss_from_audio(model_cfg, params, x: jnp.ndarray, *,
+                           mesh: Mesh, axis: str | None = None):
+    """The WHOLE CPC loss from raw audio, context-parallel end-to-end:
+    waveform (B, S) sharded along time → conv encoder with per-layer halo
+    exchange (models/encoder.py ConvEncoder.cp_axis) → gar (ring attention)
+    → heads → time-sharded all-steps InfoNCE. Params replicated; every
+    activation T-sharded; == the single-device loss and parameter grads
+    (tests/test_ring_attention.py). S must divide by axis_size *
+    prod(encoder.strides)."""
+    axis = axis or model_cfg.ar.cp_axis
+    R = _axis_size(mesh, axis)
+    if x.shape[1] % R:
+        raise ValueError(f"audio length {x.shape[1]} not divisible by mesh "
+                         f"axis {axis!r}={R}")
+    return _cp_audio_runner(model_cfg, mesh, axis)(params, x)
+
+
+def _validate_cp_model(model_cfg) -> None:
+    if model_cfg.ar.kind != "transformer":
+        raise ValueError(
+            "context parallelism shards the transformer gar; the GRU's "
+            "recurrence is inherently sequential (got ar.kind="
+            f"{model_cfg.ar.kind!r})")
+    if model_cfg.loss.negatives != "all_steps":
+        raise ValueError(
+            "the CP loss sweeps the all_steps pool by construction; set "
+            f"loss.negatives='all_steps' (got {model_cfg.loss.negatives!r} "
+            "— same_step has no time-sharded formulation: its candidates "
+            "all live at one target step, i.e. on a single device)")
+
+
 def _axis_size(mesh: Mesh, axis: str) -> int:
     if axis not in mesh.shape:
         raise ValueError(
@@ -89,17 +160,8 @@ def _cp_loss_runner(model_cfg, mesh: Mesh, axis: str):
     from cpc_tpu.models.cpc import CPCModel
     from cpc_tpu.ops.infonce_ring import ring_infonce_allsteps_ctx
 
+    _validate_cp_model(model_cfg)
     ar = model_cfg.ar
-    if ar.kind != "transformer":
-        raise ValueError(
-            "context parallelism shards the transformer gar; the GRU's "
-            f"recurrence is inherently sequential (got ar.kind={ar.kind!r})")
-    if model_cfg.loss.negatives != "all_steps":
-        raise ValueError(
-            "the CP loss sweeps the all_steps pool by construction; set "
-            f"loss.negatives='all_steps' (got {model_cfg.loss.negatives!r} — "
-            "same_step has no time-sharded formulation: its candidates all "
-            "live at one target step, i.e. on a single device)")
     if ar.attn_impl != "ring" or ar.cp_axis != axis:
         model_cfg = dataclasses.replace(
             model_cfg, ar=dataclasses.replace(ar, attn_impl="ring",

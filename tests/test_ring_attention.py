@@ -197,3 +197,68 @@ def test_cp_cpc_loss_equals_single_device(mesh):
     flat_c, _ = jax.tree_util.tree_flatten(g_cp)
     for a, b in zip(flat_c, flat_r):
         np.testing.assert_allclose(a, b, rtol=5e-5, atol=5e-5)
+
+
+# --- CP end-to-end from raw audio: halo-exchange encoder ------------------
+
+@pytest.mark.parametrize("norm", ["none", "layer", "group", "batch"])
+def test_cp_encoder_equals_single_device(mesh, norm):
+    """Per-layer halo exchange == the global SAME forward for every norm
+    option (LayerNorm is per-position; GroupNorm spans T and combines
+    stats via axis_name; batch-stats norm psums over the shards)."""
+    from cpc_tpu.config import EncoderConfig
+    from cpc_tpu.models.encoder import ConvEncoder
+
+    cfg = EncoderConfig(channels=(8, 12, 16), kernels=(10, 8, 4),
+                        strides=(5, 4, 2), d_enc=16, norm=norm)
+    enc, enc_cp = ConvEncoder(cfg), ConvEncoder(cfg, cp_axis="ctx")
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 8 * 40 * 4)),
+                    jnp.float32)
+    params = enc.init(jax.random.PRNGKey(0), x)
+    run = jax.jit(jax.shard_map(
+        lambda p, xx: enc_cp.apply(p, xx), mesh=mesh,
+        in_specs=(P(), P(None, "ctx")), out_specs=P(None, "ctx", None)))
+    np.testing.assert_allclose(run(params, x), enc.apply(params, x),
+                               rtol=1e-5, atol=1e-5)
+    g_ref = jax.grad(lambda p: jnp.sum(jnp.tanh(enc.apply(p, x))))(params)
+    g_cp = jax.grad(lambda p: jnp.sum(jnp.tanh(run(p, x))))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_cp),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
+
+
+def test_cp_loss_from_audio_equals_single_device(mesh):
+    """Raw waveform in, loss out — every activation T-sharded (halo-exchange
+    encoder, ring attention, ctx-ring InfoNCE) == single-device, values AND
+    parameter gradients."""
+    from cpc_tpu.config import EncoderConfig, LossConfig, ModelConfig
+    from cpc_tpu.models.cpc import CPCModel
+    from cpc_tpu.ops.infonce import infonce_loss_and_metrics
+    from cpc_tpu.parallel.cp import cp_cpc_loss_from_audio
+
+    T = 8 * 8
+    mcfg = ModelConfig(
+        encoder=EncoderConfig(channels=(8, 16), kernels=(4, 4),
+                              strides=(2, 2), d_enc=16),
+        ar=ArConfig(kind="transformer", d_ar=16, num_layers=1, num_heads=2,
+                    max_len=T),
+        loss=LossConfig(prediction_steps=3, negatives="all_steps"))
+    model = CPCModel(mcfg)
+    x = jnp.asarray(np.random.default_rng(7).standard_normal((2, T * 4)),
+                    jnp.float32)
+    params = model.init(jax.random.PRNGKey(2), x)
+
+    def ref_loss(p):
+        out = model.apply(p, x)
+        return infonce_loss_and_metrics(out.preds, out.z,
+                                        negatives="all_steps")[0]
+
+    def cp_loss(p):
+        return cp_cpc_loss_from_audio(mcfg, p, x, mesh=mesh)[0]
+
+    np.testing.assert_allclose(cp_loss(params), ref_loss(params),
+                               rtol=1e-5, atol=1e-6)
+    flat_r, _ = jax.tree_util.tree_flatten(jax.grad(ref_loss)(params))
+    flat_c, _ = jax.tree_util.tree_flatten(jax.grad(cp_loss)(params))
+    for a, b in zip(flat_c, flat_r):
+        np.testing.assert_allclose(a, b, rtol=5e-5, atol=5e-5)

@@ -262,3 +262,41 @@ def test_cp_loss_from_audio_equals_single_device(mesh):
     flat_c, _ = jax.tree_util.tree_flatten(jax.grad(cp_loss)(params))
     for a, b in zip(flat_c, flat_r):
         np.testing.assert_allclose(a, b, rtol=5e-5, atol=5e-5)
+
+
+def test_cp_training_loss_decreases(mesh):
+    """The CP path is trainable, not just correct: ~40 Adam steps through
+    cp_cpc_loss_from_audio on one small batch drive the loss down."""
+    import optax
+
+    from cpc_tpu.config import EncoderConfig, LossConfig, ModelConfig
+    from cpc_tpu.models.cpc import CPCModel
+    from cpc_tpu.parallel.cp import cp_cpc_loss_from_audio
+
+    T = 8 * 4
+    mcfg = ModelConfig(
+        encoder=EncoderConfig(channels=(8, 16), kernels=(4, 4),
+                              strides=(2, 2), d_enc=16),
+        ar=ArConfig(kind="transformer", d_ar=16, num_layers=1, num_heads=2,
+                    max_len=T),
+        loss=LossConfig(prediction_steps=2, negatives="all_steps"))
+    model = CPCModel(mcfg)
+    x = jnp.asarray(np.random.default_rng(9).standard_normal((4, T * 4)),
+                    jnp.float32)
+    params = model.init(jax.random.PRNGKey(3), x)
+    opt = optax.adam(3e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        (loss, _), grads = jax.value_and_grad(
+            lambda p: cp_cpc_loss_from_audio(mcfg, p, x, mesh=mesh),
+            has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for _ in range(40):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] - 0.3, losses[::8]

@@ -66,6 +66,21 @@ def decode(path: str) -> Tuple[np.ndarray, int]:
     return _DECODERS[ext](path)
 
 
+def decode_mono(path: str, target_rate: int) -> Tuple[np.ndarray, int]:
+    """(float32 mono waveform at target_rate, NATIVE rate) — THE definition
+    of \"load this file\" shared by the decode cache, pack_corpus and the
+    --extract CLI, so channel mixing / resampling has one place to fix."""
+    audio, sr = decode(path)
+    x = audio.mean(axis=1) if audio.shape[1] > 1 else audio[:, 0]
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    if sr != target_rate:
+        import jax.numpy as jnp
+
+        from cpc_tpu.ops.dsp import resample
+        x = np.asarray(resample(jnp.asarray(x[None]), sr, target_rate))[0]
+    return x, sr
+
+
 class _DecodedCache:
     """Tiny LRU of decoded mono float32 waveforms (host RAM). Files whose
     native rate differs from `sample_rate` are resampled once at decode time
@@ -83,14 +98,7 @@ class _DecodedCache:
     def get(self, path: str) -> np.ndarray:
         x = self._float.pop(path, None)
         if x is None:
-            audio, sr = decode(path)
-            x = audio.mean(axis=1) if audio.shape[1] > 1 else audio[:, 0]
-            x = np.ascontiguousarray(x, dtype=np.float32)
-            if sr != self.sample_rate:
-                import jax.numpy as jnp
-                from cpc_tpu.ops.dsp import resample
-                x = np.asarray(resample(jnp.asarray(x[None]), sr,
-                                        self.sample_rate))[0]
+            x, _ = decode_mono(path, self.sample_rate)
         self._float[path] = x
         while len(self._float) > self.max_items:
             self._float.pop(next(iter(self._float)))
@@ -242,5 +250,36 @@ class ProbeDataset(SnippetDataset):
         phones = None
         lab_path = os.path.splitext(path)[0] + ".phones.npy"
         if os.path.exists(lab_path):
-            phones = np.load(lab_path)[off:off + self.snippet_samples]
+            lab = np.load(lab_path)
+            sr = self._native_rate(path)
+            if sr == self.sample_rate:
+                w = lab[off:off + self.snippet_samples]
+                # partial/short alignment -> None: the probe SKIPS the
+                # snippet (probes.py), it must not see ragged label arrays
+                phones = w if len(w) == self.snippet_samples else None
+            else:
+                # .phones.npy is per-NATIVE-sample; off/snippet are
+                # target-rate — nearest-sample remap, same arithmetic as
+                # pack_corpus (packed.py)
+                src = (np.arange(off, off + self.snippet_samples)
+                       * sr) // self.sample_rate
+                phones = lab[src] if src[-1] < len(lab) else None
         return x, spk, phones
+
+    def _native_rate(self, path: str) -> int:
+        rates = getattr(self, "_rates", None)
+        if rates is None:
+            rates = self._rates = {}
+        sr = rates.get(path)
+        if sr is None:
+            probe = _INFOS.get(os.path.splitext(path)[1].lower())
+            sr = 0
+            if probe is not None:
+                try:
+                    _, sr = probe(path)
+                except (ValueError, OSError):
+                    sr = 0
+            if not sr:
+                sr = decode(path)[1]
+            rates[path] = sr
+        return sr

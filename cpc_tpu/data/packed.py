@@ -40,7 +40,7 @@ def pack_corpus(corpus_dir: str, out_dir: str,
                 sample_rate: int = 16_000) -> dict:
     """Decode + resample + int16-quantize every audio file under corpus_dir
     into <out_dir>/{data.i16, phones.u8, index.json}. Returns the index."""
-    from cpc_tpu.data.dataset import list_audio_files, decode
+    from cpc_tpu.data.dataset import decode_mono, list_audio_files
 
     os.makedirs(out_dir, exist_ok=True)
     files = list_audio_files(corpus_dir)
@@ -52,14 +52,7 @@ def pack_corpus(corpus_dir: str, out_dir: str,
     with open(os.path.join(out_dir, "data.i16"), "wb") as fd, \
             open(os.path.join(out_dir, "phones.u8"), "wb") as fp:
         for path in files:
-            audio, sr = decode(path)
-            x = audio.mean(axis=1) if audio.shape[1] > 1 else audio[:, 0]
-            x = np.ascontiguousarray(x, dtype=np.float32)
-            if sr != sample_rate:
-                import jax.numpy as jnp
-                from cpc_tpu.ops.dsp import resample
-                x = np.asarray(resample(jnp.asarray(x[None]), sr,
-                                        sample_rate))[0]
+            x, sr = decode_mono(path, sample_rate)
             pcm = np.clip(np.round(x * 32768.0), -32768, 32767).astype("<i2")
             fd.write(pcm.tobytes())
 

@@ -1,4 +1,4 @@
 from cpc_tpu.eval.cli import main
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())

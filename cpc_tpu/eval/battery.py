@@ -35,6 +35,10 @@ def probe_milestone(model, params, probe_ds, *, normalize: bool,
     split/seed probes the cached features. Returns the row dict WITHOUT
     the "step" key (the caller knows the step).
     """
+    if probe_seeds < 1:
+        raise ValueError(f"probe_seeds must be >= 1, got {probe_seeds} "
+                         "(0 would silently compute a battery of NaNs "
+                         "and then crash after the expensive sweep)")
     frames, ylab, files = extract_speaker_frame_features(
         model, params, probe_ds, max_snippets=len(probe_ds),
         normalize=normalize)

@@ -179,15 +179,9 @@ def main(argv=None) -> int:
 
     if args.extract:
         import numpy as np
-        from cpc_tpu.data.dataset import decode
+        from cpc_tpu.data.dataset import decode_mono
         from cpc_tpu.eval.features import extract_features
-        audio, sr = decode(args.extract)
-        wave = audio.mean(axis=1) if audio.shape[1] > 1 else audio[:, 0]
-        if sr != cfg.data.sample_rate:
-            import jax.numpy as jnp
-            from cpc_tpu.ops.dsp import resample
-            wave = np.asarray(resample(jnp.asarray(wave[None]), sr,
-                                       cfg.data.sample_rate))[0]
+        wave, _ = decode_mono(args.extract, cfg.data.sample_rate)
         z, c = extract_features(model, params, wave.astype(np.float32),
                                 window=cfg.data.snippet_samples,
                                 hop=args.hop,

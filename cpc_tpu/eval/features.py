@@ -27,6 +27,29 @@ from cpc_tpu.models.cpc import CPCModel
 from cpc_tpu.ops.dsp import prepare_waveform
 
 
+def jitted_forward(model: CPCModel, normalize: bool):
+    """The cached jitted (params, int16/float batch) -> CPCOutput forward.
+
+    jax.jit caches executables ON THE WRAPPER, so a fresh jit(lambda) per
+    call starts with an empty cache and recompiles the whole encoder+gar
+    every invocation — minutes per redundant compile on the remote-compile
+    TPU host. Key by (model, normalize): flax modules are frozen
+    dataclasses over the (hashable) frozen config, so equal configs share
+    one executable across every probe/extract call in the process."""
+    key = (model, bool(normalize))
+    fwd = _FORWARD_CACHE.get(key)
+    if fwd is None:
+        fwd = jax.jit(lambda p, a: model.apply(
+            p, prepare_waveform(a, normalize=normalize)))
+        if len(_FORWARD_CACHE) >= 8:
+            _FORWARD_CACHE.pop(next(iter(_FORWARD_CACHE)))
+        _FORWARD_CACHE[key] = fwd
+    return fwd
+
+
+_FORWARD_CACHE: dict = {}
+
+
 def extract_features(
     model: CPCModel,
     params,
@@ -63,8 +86,7 @@ def extract_features(
     if n_pad:
         wins = np.concatenate([wins, np.zeros((n_pad, window), np.float32)])
 
-    fwd = jax.jit(
-        lambda p, a: model.apply(p, prepare_waveform(a, normalize=normalize)))
+    fwd = jitted_forward(model, normalize)
     zs, cs = [], []
     for i in range(0, len(wins), batch_windows):
         out = fwd(params, jnp.asarray(wins[i:i + batch_windows]))

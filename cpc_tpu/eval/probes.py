@@ -44,8 +44,8 @@ def _extract(model, params, snippets: np.ndarray, feature: str,
     Inputs go through the same prepare_waveform (dequant + per-snippet
     normalization) the training step applies on device, so frozen features
     come from the distribution the model was trained on."""
-    fwd = jax.jit(
-        lambda p, a: model.apply(p, prepare_waveform(a, normalize=normalize)))
+    from cpc_tpu.eval.features import jitted_forward
+    fwd = jitted_forward(model, normalize)
     outs = []
     n_pad = (-len(snippets)) % batch
     padded = np.concatenate(

@@ -1,4 +1,4 @@
 from cpc_tpu.train.cli import main
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())

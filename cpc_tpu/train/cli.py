@@ -21,6 +21,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="cpc_tpu.train",
         description="TPU-native CPC audio pretraining",
+        # no abbreviations: --superv would dodge the supervisor's flag
+        # stripping and spawn supervisors recursively
+        allow_abbrev=False,
     )
     p.add_argument("--config", default=None,
                    help="preset name (baseline, maestro_scalogram, "

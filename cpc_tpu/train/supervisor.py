@@ -186,7 +186,11 @@ def supervise(child_argv: Sequence[str], workdir: str, *,
                 break
             time.sleep(poll)
 
-        exit_code = proc.returncode if proc.returncode else 1
+        rc = proc.returncode
+        # signal deaths are negative; report the shell convention 128+sig so
+        # callers see a meaningful positive status, not a wrapped arbitrary
+        # byte (SystemExit(-9) would exit 247)
+        exit_code = (128 - rc) if rc and rc < 0 else (rc or 1)
         progressed = latest_checkpoint_step(workdir) > step_at_spawn
         consecutive = 0 if progressed else consecutive + 1
         _log(f"attempt failed ({failure}); progressed={progressed} "

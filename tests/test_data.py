@@ -303,3 +303,40 @@ def test_dynamics_corpus_hides_speaker_in_transitions(tmp_path):
     mats = speaker_transition_matrices(6, np.random.default_rng(0))
     np.testing.assert_allclose(mats.sum(1), 1.0, atol=1e-9)
     np.testing.assert_allclose(mats.sum(2), 1.0, atol=1e-9)
+
+
+def test_probe_labels_remap_on_resample(tmp_path):
+    """.phones.npy is per-NATIVE-sample; a corpus at a different rate must
+    have its label indexing remapped exactly like pack_corpus does —
+    otherwise the phone probe silently trains on misaligned labels."""
+    from cpc_tpu.data.dataset import ProbeDataset
+    from cpc_tpu.data.wavio import write_wav
+
+    root = tmp_path / "c32k"
+    (root / "spk0").mkdir(parents=True)
+    sr_native, sr_target = 32_000, 16_000
+    n = sr_native * 2
+    rng = np.random.default_rng(0)
+    wav = (root / "spk0" / "utt0.wav")
+    write_wav(str(wav), (rng.standard_normal(n) * 0.1).astype(np.float32),
+              sr_native)
+    # labels change every native 0.1 s — recognizable blocks
+    lab = (np.arange(n) // (sr_native // 10)).astype(np.uint8)
+    np.save(str(wav)[:-4] + ".phones.npy", lab)
+
+    snippet = 8_000  # target-rate samples
+    ds = ProbeDataset(str(root), snippet_samples=snippet,
+                      sample_rate=sr_target)
+    x, spk, phones = ds.item_with_labels(1)  # second snippet: offset 8000
+    assert phones is not None and len(phones) == snippet
+    off = snippet  # target-rate offset of snippet index 1
+    src = (np.arange(off, off + snippet) * sr_native) // sr_target
+    np.testing.assert_array_equal(phones, lab[src])
+
+    # a PARTIAL alignment (shorter than the audio) must yield None (skip),
+    # never a ragged array that crashes np.stack downstream
+    np.save(str(wav)[:-4] + ".phones.npy", lab[: n // 2])
+    ds2 = ProbeDataset(str(root), snippet_samples=snippet,
+                       sample_rate=sr_target)
+    assert ds2.item_with_labels(3)[2] is None  # native window past labels
+    assert ds2.item_with_labels(0)[2] is not None  # covered window still OK

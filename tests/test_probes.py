@@ -172,3 +172,12 @@ def test_overlapping_window_validation(setup):
         extract_features(model, params, wav, window=8000, hop=0)
     with pytest.raises(ValueError, match="downsample"):
         extract_features(model, params, wav, window=8000, hop=4001)
+
+
+def test_battery_rejects_zero_probe_seeds():
+    import pytest
+
+    from cpc_tpu.eval.battery import probe_milestone
+
+    with pytest.raises(ValueError, match="probe_seeds"):
+        probe_milestone(None, None, None, normalize=True, probe_seeds=0)

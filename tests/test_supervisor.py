@@ -218,3 +218,30 @@ def test_supervised_training_survives_sigkill_integration(tmp_path):
     # and the resumed attempt CONTINUED rather than starting over: the step
     # sequence after the kill point never returns to 1 a second time
     assert steps.count(1) == 1
+
+
+def test_signal_death_exit_code_mapping(tmp_path):
+    """A child that dies by signal with no progress maps to the shell
+    convention 128+sig, not a negative returncode that wraps to an
+    arbitrary byte at process exit."""
+    import sys
+
+    from cpc_tpu.train.supervisor import supervise
+
+    child = [sys.executable, "-c",
+             "import os, signal; os.kill(os.getpid(), signal.SIGKILL)"]
+    res = supervise(child, str(tmp_path), stale_after=60, max_restarts=0,
+                    backoff=0.01, poll=0.05)
+    assert res.exit_code == 137  # 128 + SIGKILL
+
+
+def test_no_abbreviated_flags():
+    """argparse abbreviations are OFF: '--superv' must error loudly, not
+    parse as --supervise (which the supervisor's flag stripping would miss,
+    forwarding it to the child and spawning supervisors recursively)."""
+    import pytest
+
+    from cpc_tpu.train.cli import build_argparser
+
+    with pytest.raises(SystemExit):
+        build_argparser().parse_args(["--superv", "--workdir", "/tmp/x"])

@@ -127,8 +127,15 @@ class StreamingExtractor:
         ar = self._model.config.ar
         self.rf, self.down = receptive_field(cfg.encoder.kernels,
                                              cfg.encoder.strides)
-        self._stats = None if stats is None else (float(stats[0]),
-                                                  float(stats[1]))
+        if stats is not None:
+            m, s = float(stats[0]), float(stats[1])
+            if not (np.isfinite(m) and np.isfinite(s) and s > 0):
+                raise ValueError(
+                    f"stats=(mean, std) needs a finite positive std, got "
+                    f"({m}, {s}) — (win - mean)/std would emit NaN/inf "
+                    "frames forever")
+            stats = (m, s)
+        self._stats = stats
         self._is_tr = cfg.ar.kind == "transformer"
         if self._is_tr:
             from cpc_tpu.models.transformer import CausalTransformer

@@ -142,7 +142,16 @@ def export_streaming_step(
     m = portable_stream_model(cfg)
     rf, down = receptive_field(cfg.encoder.kernels, cfg.encoder.strides)
     window = rf + (chunk_latents - 1) * down
-    fixed = None if stats is None else (float(stats[0]), float(stats[1]))
+    if stats is not None:
+        import math
+        m0, s0 = float(stats[0]), float(stats[1])
+        if not (math.isfinite(m0) and math.isfinite(s0) and s0 > 0):
+            raise ValueError(
+                f"stats=(mean, std) needs a finite positive std, got "
+                f"({m0}, {s0}) — the artifact would bake (win - mean)/std "
+                "as NaN/inf forever")
+        stats = (m0, s0)
+    fixed = stats
 
     def fn(h, win):
         x = win if fixed is None else (win - fixed[0]) / fixed[1]

@@ -266,7 +266,15 @@ class CausalTransformer(nn.Module):
         over the KV cache of all previously extended positions. Requires a
         decode=True module whose 'cache' collection was created by an init
         at full max_len length (see eval.streaming); apply with
-        mutable=['cache']. Exactly equals column t of the offline forward."""
+        mutable=['cache']. Exactly equals column t of the offline forward.
+
+        CONTRACT: the caller must bound extend() calls by cfg.max_len —
+        the position index is a traced cache variable, so past the table
+        the slice/update indices CLAMP (the last positional row is reused
+        and the final KV slot overwritten) rather than raise; this is
+        silent corruption, not an error. eval.streaming enforces the bound
+        (StreamingExtractor raises 'stream exceeds the transformer's
+        positional table'); direct users must do the same."""
         if not self.decode:
             raise ValueError("extend() requires decode=True (KV cache)")
         pos = self._pos

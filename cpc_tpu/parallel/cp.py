@@ -75,11 +75,24 @@ def cp_transformer_apply(cfg: ArConfig, params: Any, z: jnp.ndarray, *,
     return _cp_runner(cfg, mesh, axis, dtype, param_dtype)(params, z)
 
 
+def _gar_heads_ctx_loss(model, model_cfg, params, z, axis):
+    """Shared tail of both CP runners: gar (ring attention) + the fused
+    K-head Dense (per-position on the local chunk) + the time-sharded
+    all-steps InfoNCE sweeping the global pool on the same ring."""
+    from cpc_tpu.models.cpc import CPCModel
+    from cpc_tpu.ops.infonce_ring import ring_infonce_allsteps_ctx
+
+    c = model.apply(params, z, method=CPCModel.context_from_z)
+    B, T_loc, _ = c.shape
+    preds = model.apply(params, c, method=CPCModel.predict).reshape(
+        B, T_loc, model_cfg.loss.prediction_steps, model_cfg.encoder.d_enc)
+    return ring_infonce_allsteps_ctx(preds, z, axis_name=axis)
+
+
 @functools.lru_cache(maxsize=32)
 def _cp_audio_runner(model_cfg, mesh: Mesh, axis: str):
     from cpc_tpu.models.cpc import CPCModel, _dtype
     from cpc_tpu.models.encoder import ConvEncoder
-    from cpc_tpu.ops.infonce_ring import ring_infonce_allsteps_ctx
 
     _validate_cp_model(model_cfg)
     if model_cfg.encoder.kind != "conv1d":
@@ -105,12 +118,7 @@ def _cp_audio_runner(model_cfg, mesh: Mesh, axis: str):
         out_specs=(P(), P()))
     def run(params, x_shard):
         z = enc.apply({"params": params["params"]["encoder"]}, x_shard)
-        c = model.apply(params, z, method=CPCModel.context_from_z)
-        K = model_cfg.loss.prediction_steps
-        B, T_loc, _ = c.shape
-        preds = model.apply(params, c, method=CPCModel.predict).reshape(
-            B, T_loc, K, model_cfg.encoder.d_enc)
-        return ring_infonce_allsteps_ctx(preds, z, axis_name=axis)
+        return _gar_heads_ctx_loss(model, model_cfg, params, z, axis)
 
     return run
 
@@ -158,7 +166,6 @@ def _axis_size(mesh: Mesh, axis: str) -> int:
 @functools.lru_cache(maxsize=32)
 def _cp_loss_runner(model_cfg, mesh: Mesh, axis: str):
     from cpc_tpu.models.cpc import CPCModel
-    from cpc_tpu.ops.infonce_ring import ring_infonce_allsteps_ctx
 
     _validate_cp_model(model_cfg)
     ar = model_cfg.ar
@@ -174,17 +181,7 @@ def _cp_loss_runner(model_cfg, mesh: Mesh, axis: str):
         in_specs=(P(), P(None, axis, None)),
         out_specs=(P(), P()))
     def run(params, z_shard):
-        # gar (ring attention) + the fused K-head Dense are per-position on
-        # the local chunk; the loss sweeps the global pool on the same ring
-        c = model.apply(params, z_shard, method=CPCModel.context_from_z)
-        K = model_cfg.loss.prediction_steps
-        D = model_cfg.encoder.d_enc
-        B, T_loc, _ = c.shape
-        preds = model.apply(params, c, method=CPCModel.predict).reshape(
-            B, T_loc, K, D)
-        loss, metrics = ring_infonce_allsteps_ctx(preds, z_shard,
-                                                  axis_name=axis)
-        return loss, metrics
+        return _gar_heads_ctx_loss(model, model_cfg, params, z_shard, axis)
 
     return run
 

@@ -29,7 +29,16 @@ def make_mesh(
         known = int(np.prod([s for s in shape if s != -1])) or 1
         shape[shape.index(-1)] = len(devices) // known
     n = int(np.prod(shape))
+    if n > len(devices):
+        raise ValueError(
+            f"mesh shape {tuple(shape)} needs {n} devices, have "
+            f"{len(devices)}")
     if n != len(devices):
+        import warnings
+        warnings.warn(
+            f"mesh shape {tuple(shape)} uses {n} of {len(devices)} devices "
+            f"— pass devices= explicitly if the subset is intentional",
+            stacklevel=2)
         devices = devices[:n]
     arr = np.asarray(devices).reshape(shape)
     return Mesh(arr, tuple(axis_names))

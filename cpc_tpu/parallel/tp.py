@@ -115,7 +115,8 @@ def sharded_param_paths(params, mesh: Mesh):
 def make_tp_train_step(cfg, model, mesh: Mesh):
     """jit-ed train step over a ('data', 'model') mesh: batch sharded on
     'data', params per `shard_params`; GSPMD propagates the rest. Returns
-    (train_step, shard_fn) where shard_fn places (params, opt_state)."""
+    (train_step, shard_fn, batch_sharding, optimizer) where shard_fn
+    places (params, opt_state) and batch_sharding places input batches."""
     from cpc_tpu.train.train_step import make_optimizer
     from cpc_tpu.data.loader import device_prepare
     from cpc_tpu.ops.infonce import infonce_loss_and_metrics

@@ -32,9 +32,14 @@ Wire protocol (documented in docs/API.md):
   stderr: one JSON header line (frame geometry) at start, one JSON
           summary line (frames emitted, tail samples dropped) at EOF.
 
-Both paths emit bit-identical frames for the same stream (the artifact is
-an export of the extractor's step; equality is tested in
-tests/test_serve.py against the offline VALID forward).
+Both paths emit bit-identical frames for the same stream over every
+COMPLETE window (the artifact is an export of the extractor's step;
+equality is tested in tests/test_serve.py against the offline VALID
+forward). Tail difference at EOF: the artifact path steps in fixed
+windows and drops up to one window's tail latents (counted in the stderr
+summary as dropped samples), while the live extractor emits every latent
+whose receptive field completed — prefer --workdir when trailing frames
+of a finite stream matter.
 """
 
 from __future__ import annotations
@@ -101,7 +106,7 @@ class _ArtifactStream:
         try:
             with open(sidecar) as f:
                 cfg = json.load(f)["config"]
-        except (OSError, KeyError) as e:
+        except (OSError, KeyError, ValueError) as e:  # incl. corrupt JSON
             raise SystemExit(
                 f"cannot read encoder geometry: {sidecar} missing or "
                 f"without a 'config' entry ({e}); re-export via "
@@ -167,6 +172,15 @@ class _LiveStream:
         if restored is None:
             raise SystemExit(f"no checkpoint under {workdir}")
         params, _, self.step, _ = restored
+        if cfg.data.normalize and stats is None:
+            # mirror the export path's warning (eval/cli.py): the run
+            # trained on per-snippet-normalized input a stream cannot
+            # reproduce; raw samples silently degrade feature quality
+            print(json.dumps({"warning": (
+                "this run trained with per-snippet normalization; serving "
+                "without --stats MEAN STD feeds RAW samples — pass "
+                "corpus-level stats for a fixed input normalization")}),
+                file=sys.stderr, flush=True)
         self._ex = StreamingExtractor(model, params, stats=stats)
         self.down = self._ex.down
         self.rf = self._ex.rf

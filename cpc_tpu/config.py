@@ -34,6 +34,14 @@ class EncoderConfig:
     d_enc: int = 512  # output latent dim (== channels[-1])
     use_pallas: bool = False  # fused Pallas conv pyramid (SAME/relu/no-norm)
     pallas_time_tile: int = 64  # final latents per kernel program
+    # Rematerialize each conv layer in the backward pass (jax.checkpoint per
+    # (conv, norm, act) block): only layer-BOUNDARY activations are kept
+    # live across the forward; per-layer internals (pre-activation values,
+    # relu masks) are recomputed during backprop. Halves encoder activation
+    # memory — the dominant long-context cost, since the first conv layer's
+    # output is (B, T/5, 512) — for one extra forward's FLOPs. Incompatible
+    # with use_pallas (the fused pyramid never materializes intermediates).
+    remat: bool = False
 
     # scalogram front-end (music/MAESTRO variant, BASELINE.json:8) --------
     scalogram_n_fft: int = 1024
@@ -93,6 +101,14 @@ class ArConfig:
     # ppermute ring of ops/attention_ring.py — see parallel/cp.py)
     attn_impl: str = "xla"
     cp_axis: str = "ctx"  # mesh axis name for attn_impl='ring'
+    # Rematerialize each transformer block in the backward pass
+    # (jax.checkpoint per pre-LN block): only block-boundary (B, T, d_ar)
+    # residuals stay live; attention/MLP internals are recomputed during
+    # backprop. Transformer-only (the GRU's lax.scan recurrence must keep
+    # its per-step carries either way — CPCModel rejects remat+gru rather
+    # than ship a silent no-op knob). Composes with every attn_impl,
+    # including the ring (collectives are replayed in the recompute).
+    remat: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -43,6 +43,12 @@ class CPCModel(nn.Module):
         param_dtype = _dtype(self.config.param_dtype)
         self.encoder = make_encoder(self.config.encoder, dtype, param_dtype)
         if self.config.ar.kind == "gru":
+            if self.config.ar.remat:
+                raise ValueError(
+                    "ar.remat requires the transformer gar: the GRU's scan "
+                    "recurrence keeps its per-step carries for the backward "
+                    "pass either way, so remat would be a silent no-op "
+                    "(encoder.remat is the memory lever for GRU configs)")
             self.gar = GRU(
                 hidden_size=self.config.ar.d_ar,
                 num_layers=self.config.ar.num_layers,

@@ -139,15 +139,84 @@ class ConvEncoder(nn.Module):
     param_dtype: Any = jnp.float32
     cp_axis: Optional[str] = None
 
-    @nn.compact
+    def setup(self):
+        cfg = self.config
+        if cfg.remat and cfg.use_pallas:
+            raise ValueError(
+                "encoder.remat has nothing to save under encoder.use_pallas "
+                "— the fused Pallas pyramid never materializes intermediate "
+                "activations in HBM; disable one of the two")
+        convs, norms = [], []
+        c_in = 1
+        for i, (ch, k, s) in enumerate(
+                zip(cfg.channels, cfg.kernels, cfg.strides)):
+            if cfg.use_pallas:
+                convs.append(_ConvParams(k, c_in, ch, self.param_dtype,
+                                         name=f"conv{i}"))
+            else:
+                convs.append(nn.Conv(
+                    features=ch,
+                    kernel_size=(k,),
+                    strides=(s,),
+                    # under CP the exchanged halo IS the padding
+                    padding="VALID" if self.cp_axis is not None
+                    else cfg.padding,
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                    name=f"conv{i}",
+                ))
+            norms.append(_norm_layer(cfg.norm, i, ch, self.dtype,
+                                     self.param_dtype, cp_axis=self.cp_axis))
+            c_in = ch
+        self.convs = convs
+        self.norms = norms
+
+    def _layer(self, x: jnp.ndarray, i: int) -> jnp.ndarray:
+        """One (conv, norm, act) block — the remat unit: with config.remat,
+        only this block's INPUT stays live across the forward; the conv
+        output and relu mask are recomputed during backprop."""
+        x = self.convs[i](x)
+        if self.norms[i] is not None:
+            x = self.norms[i](x)
+        return _activation(self.config.activation)(x)
+
+    def _cp_layer(self, x: jnp.ndarray, i: int) -> jnp.ndarray:
+        """CP twin of _layer: exchange this layer's SAME-padding halo with
+        the ring neighbors first (ppermutes are replayed in the remat
+        recompute), then conv padding-free."""
+        cfg = self.config
+        axis = self.cp_axis
+        R = jax.lax.axis_size(axis)
+        me = jax.lax.axis_index(axis)
+        k, s = cfg.kernels[i], cfg.strides[i]
+        # SAME splits max(k - s, 0) zeros as (total//2, rest); interior
+        # devices receive REAL samples there instead — exchanged below
+        pad = max(k - s, 0)
+        pad_l, pad_r = pad // 2, pad - pad // 2
+        fwd = [(j, (j + 1) % R) for j in range(R)]
+        bwd = [((j + 1) % R, j) for j in range(R)]
+        parts = []
+        if pad_l:
+            left = jax.lax.ppermute(x[:, -pad_l:], axis, fwd)
+            parts.append(jnp.where(me == 0, jnp.zeros_like(left), left))
+        parts.append(x)
+        if pad_r:
+            right = jax.lax.ppermute(x[:, :pad_r], axis, bwd)
+            parts.append(jnp.where(me == R - 1, jnp.zeros_like(right),
+                                   right))
+        x = jnp.concatenate(parts, axis=1) if len(parts) > 1 else x
+        x = self.convs[i](x)
+        if self.norms[i] is not None:
+            x = self.norms[i](x)
+        return _activation(cfg.activation)(x)
+
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         cfg = self.config
         if x.ndim == 2:
             x = x[..., None]  # (B, T, 1)
         x = x.astype(self.dtype)
-        act = _activation(cfg.activation)
         if self.cp_axis is not None:
-            return self._cp_forward(x, act)
+            return self._cp_forward(x)
         if cfg.use_pallas:
             if (cfg.padding != "SAME" or cfg.norm != "none"
                     or cfg.activation != "relu"):
@@ -156,44 +225,27 @@ class ConvEncoder(nn.Module):
                     "relu only; disable encoder.use_pallas for this config")
             from cpc_tpu.ops.conv_pallas import fused_conv_encoder
             weights, biases = [], []
-            c_in = 1
-            for i, (ch, k, s) in enumerate(
-                    zip(cfg.channels, cfg.kernels, cfg.strides)):
-                w, b = _ConvParams(k, c_in, ch, self.param_dtype,
-                                   name=f"conv{i}")()
+            for conv in self.convs:
+                w, b = conv()
                 weights.append(w.astype(self.dtype))
                 biases.append(b.astype(self.dtype))
-                c_in = ch
             interpret = jax.default_backend() != "tpu"
             return fused_conv_encoder(
                 x[..., 0], tuple(weights), tuple(biases),
                 tuple(cfg.kernels), tuple(cfg.strides),
                 cfg.pallas_time_tile, interpret)
-        for i, (ch, k, s) in enumerate(zip(cfg.channels, cfg.kernels, cfg.strides)):
-            x = nn.Conv(
-                features=ch,
-                kernel_size=(k,),
-                strides=(s,),
-                padding=cfg.padding,
-                dtype=self.dtype,
-                param_dtype=self.param_dtype,
-                name=f"conv{i}",
-            )(x)
-            norm = _norm_layer(cfg.norm, i, ch, self.dtype, self.param_dtype)
-            if norm is not None:
-                x = norm(x)
-            x = act(x)
+        layer = (nn.remat(ConvEncoder._layer, static_argnums=(2,))
+                 if cfg.remat else ConvEncoder._layer)
+        for i in range(len(self.convs)):
+            x = layer(self, x, i)
         return x
 
-    def _cp_forward(self, x: jnp.ndarray, act) -> jnp.ndarray:
+    def _cp_forward(self, x: jnp.ndarray) -> jnp.ndarray:
         cfg = self.config
         if cfg.padding != "SAME" or cfg.use_pallas:
             raise ValueError(
                 "CP encoder requires padding='SAME' and use_pallas=False "
                 f"(got padding={cfg.padding!r}, use_pallas={cfg.use_pallas})")
-        axis = self.cp_axis
-        R = jax.lax.axis_size(axis)
-        me = jax.lax.axis_index(axis)
         stride_prod = 1
         for s in cfg.strides:
             stride_prod *= s
@@ -201,38 +253,10 @@ class ConvEncoder(nn.Module):
             raise ValueError(
                 f"CP encoder: local T {x.shape[1]} must divide by "
                 f"prod(strides)={stride_prod}")
-        fwd = [(j, (j + 1) % R) for j in range(R)]
-        bwd = [((j + 1) % R, j) for j in range(R)]
-        for i, (ch, k, s) in enumerate(
-                zip(cfg.channels, cfg.kernels, cfg.strides)):
-            # SAME splits max(k - s, 0) zeros as (total//2, rest); interior
-            # devices receive REAL samples there instead — exchanged below
-            pad = max(k - s, 0)
-            pad_l, pad_r = pad // 2, pad - pad // 2
-            parts = []
-            if pad_l:
-                left = jax.lax.ppermute(x[:, -pad_l:], axis, fwd)
-                parts.append(jnp.where(me == 0, jnp.zeros_like(left), left))
-            parts.append(x)
-            if pad_r:
-                right = jax.lax.ppermute(x[:, :pad_r], axis, bwd)
-                parts.append(jnp.where(me == R - 1, jnp.zeros_like(right),
-                                       right))
-            x = jnp.concatenate(parts, axis=1) if len(parts) > 1 else x
-            x = nn.Conv(
-                features=ch,
-                kernel_size=(k,),
-                strides=(s,),
-                padding="VALID",  # the halo IS the padding
-                dtype=self.dtype,
-                param_dtype=self.param_dtype,
-                name=f"conv{i}",
-            )(x)
-            norm = _norm_layer(cfg.norm, i, ch, self.dtype, self.param_dtype,
-                               cp_axis=axis)
-            if norm is not None:
-                x = norm(x)
-            x = act(x)
+        layer = (nn.remat(ConvEncoder._cp_layer, static_argnums=(2,))
+                 if cfg.remat else ConvEncoder._cp_layer)
+        for i in range(len(self.convs)):
+            x = layer(self, x, i)
         return x
 
 
@@ -250,7 +274,38 @@ class ScalogramEncoder(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        cfg = self.config
+        convs, norms = [], []
+        for i, (ch, k, fs, ts) in enumerate(
+            zip(cfg.scalogram_channels, cfg.scalogram_kernels,
+                cfg.scalogram_freq_strides, cfg.scalogram_time_strides)
+        ):
+            convs.append(nn.Conv(
+                features=ch,
+                kernel_size=k,
+                strides=(ts, fs),  # (time, freq)
+                padding="SAME",
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"conv2d_{i}",
+            ))
+            norms.append(_norm_layer(cfg.norm, i, ch, self.dtype,
+                                     self.param_dtype))
+        self.convs = convs
+        self.norms = norms
+        self.proj = nn.Dense(cfg.d_enc, dtype=self.dtype,
+                             param_dtype=self.param_dtype, name="proj")
+
+    def _layer(self, h: jnp.ndarray, i: int) -> jnp.ndarray:
+        """One (conv2d, norm, act) block — the remat unit (see ConvEncoder;
+        the on-device scalogram DSP stays OUTSIDE the remat regions, so the
+        rFFT is never recomputed)."""
+        h = self.convs[i](h)
+        if self.norms[i] is not None:
+            h = self.norms[i](h)
+        return _activation(self.config.activation)(h)
+
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         from cpc_tpu.ops.scalogram import scalogram  # on-device DSP
 
@@ -268,30 +323,14 @@ class ScalogramEncoder(nn.Module):
             sample_rate=16_000,
         )  # (B, frames, n_bins)
         h = s[..., None].astype(self.dtype)  # (B, time, freq, 1) as NHWC
-        act = _activation(cfg.activation)
-        for i, (ch, k, fs, ts) in enumerate(
-            zip(cfg.scalogram_channels, cfg.scalogram_kernels,
-                cfg.scalogram_freq_strides, cfg.scalogram_time_strides)
-        ):
-            h = nn.Conv(
-                features=ch,
-                kernel_size=k,
-                strides=(ts, fs),  # (time, freq)
-                padding="SAME",
-                dtype=self.dtype,
-                param_dtype=self.param_dtype,
-                name=f"conv2d_{i}",
-            )(h)
-            norm = _norm_layer(cfg.norm, i, ch, self.dtype, self.param_dtype)
-            if norm is not None:
-                h = norm(h)
-            h = act(h)
+        layer = (nn.remat(ScalogramEncoder._layer, static_argnums=(2,))
+                 if cfg.remat else ScalogramEncoder._layer)
+        for i in range(len(self.convs)):
+            h = layer(self, h, i)
         # collapse remaining frequency axis -> (B, time, freq'*ch) -> d_enc
         b, t, f, c = h.shape
         h = h.reshape(b, t, f * c)
-        z = nn.Dense(cfg.d_enc, dtype=self.dtype, param_dtype=self.param_dtype,
-                     name="proj")(h)
-        return z
+        return self.proj(h)
 
 
 def make_encoder(config: EncoderConfig, dtype, param_dtype) -> nn.Module:

@@ -257,8 +257,13 @@ class CausalTransformer(nn.Module):
         # flash/ring are causal in-kernel; no (B, 1, T, T) mask tensor
         mask = (None if cfg.attn_impl in ("flash", "flash16", "ring")
                 else nn.make_causal_mask(jnp.ones((B, T)), dtype=bool))
+        # ar.remat: checkpoint each block — only the (B, T, d_ar) residual
+        # stream stays live across the forward; attention/MLP internals are
+        # recomputed during backprop (ring ppermutes replay in the recompute)
+        blk_fn = (nn.remat(_Block.__call__, static_argnums=(3,))
+                  if cfg.remat else _Block.__call__)
         for blk in self.blocks:
-            x = blk(x, mask, deterministic=deterministic)
+            x = blk_fn(blk, x, mask, deterministic)
         return self.final_norm(x)
 
     def extend(self, z_t: jnp.ndarray) -> jnp.ndarray:

@@ -14,6 +14,11 @@ Per (family, remat) point, prints one JSON line with:
 
 The capability claim to check at the long end: with remat, the max
 compilable context should exceed the plain path's on a fixed HBM budget.
+`--sweep` measures exactly that: per family (plain vs remat), double the
+context from --seconds until the grad step no longer compiles+runs, and
+report the last context that did. The transformer points run
+attn_impl='flash' so attention memory is O(T) and the conv activations —
+the tensors remat frees — are the binding constraint.
 """
 
 from __future__ import annotations
@@ -29,7 +34,7 @@ import numpy as np
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
-def point(name: str, B: int, T: int, overrides) -> dict:
+def point(name: str, B: int, T: int, overrides, n: int = 10) -> dict:
     from benchmarks.microbench import first, timeit
     from cpc_tpu.config import apply_overrides, presets
     from cpc_tpu.models.cpc import CPCModel
@@ -53,11 +58,41 @@ def point(name: str, B: int, T: int, overrides) -> dict:
             ma = compiled.memory_analysis()
             rec["temp_mib"] = round(ma.temp_size_in_bytes / 2**20, 1)
         rec["fwd_bwd_ms"] = round(timeit(lambda: first(compiled(params)),
-                                         n=10), 2)
+                                         n=n), 2)
         rec["ok"] = True
     except Exception as e:  # OOM/compile failure IS the data point
         rec.update(ok=False, error=f"{type(e).__name__}: {str(e)[:160]}")
     return rec
+
+
+def sweep(B: int, T0: int, max_doublings: int) -> None:
+    """Double the context until the grad step stops compiling+running; the
+    last good T per (family, remat) IS the capability measurement."""
+    def tf(T, remat):
+        ov = [f"model.ar.max_len={T // 160}", "model.ar.attn_impl=flash"]
+        if remat:
+            ov += ["model.encoder.remat=true", "model.ar.remat=true"]
+        return ov
+
+    def gru(T, remat):
+        return ["model.encoder.remat=true"] if remat else []
+
+    for fam, mk in (("baseline", gru), ("transformer_gar", tf)):
+        for remat in (False, True):
+            best = None
+            T = T0
+            for _ in range(max_doublings + 1):
+                rec = point(fam, B, T, mk(T, remat), n=3)
+                print(json.dumps(rec), flush=True)
+                if not rec["ok"]:
+                    break
+                best = T
+                T *= 2
+            print(json.dumps({
+                "family": fam, "remat": remat, "B": B,
+                "max_ok_T": best,
+                "max_ok_seconds": round(best / 16_000, 2) if best else None,
+            }), flush=True)
 
 
 def main() -> None:
@@ -65,10 +100,19 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--seconds", type=float, default=5.12,
                     help="context length in audio seconds (16 kHz)")
+    ap.add_argument("--sweep", action="store_true",
+                    help="double the context until grad-step failure; "
+                    "report max ok context per (family, remat)")
+    ap.add_argument("--max-doublings", type=int, default=5)
     args = ap.parse_args()
     T = int(round(args.seconds * 16_000 / 160)) * 160  # keep /160 exact
     print(json.dumps({"backend": jax.default_backend(), "B": args.batch,
-                      "T": T}), flush=True)
+                      "T": T, "mode": "sweep" if args.sweep else "grid"}),
+          flush=True)
+
+    if args.sweep:
+        sweep(args.batch, T, args.max_doublings)
+        return
 
     tf_long = [f"model.ar.max_len={T // 160}"]
     grid = [

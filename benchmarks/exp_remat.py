@@ -34,7 +34,7 @@ import numpy as np
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
-def point(name: str, B: int, T: int, overrides, n: int = 10) -> dict:
+def point(name: str, B: int, T: int, overrides) -> dict:
     from benchmarks.microbench import first, timeit
     from cpc_tpu.config import apply_overrides, presets
     from cpc_tpu.models.cpc import CPCModel
@@ -42,23 +42,36 @@ def point(name: str, B: int, T: int, overrides, n: int = 10) -> dict:
 
     cfg = apply_overrides(presets.by_name(name), list(overrides))
     model = CPCModel(cfg.model)
-    x = jnp.asarray(
-        np.random.default_rng(0).standard_normal((B, T)) * 0.1, jnp.float32)
-    params = model.init(jax.random.key(0), x)
-
-    def loss(p):
-        out = model.apply(p, x)
-        return infonce_loss_and_metrics(out.preds, out.z)[0]
-
     rec = {"family": name, "B": B, "T": T,
            "remat": [o for o in overrides if "remat" in o] or ["off"]}
     try:
+        # everything device-touching lives inside the try: at the long end
+        # of --sweep the first allocation to blow HBM can be the EAGER init
+        # forward or the x transfer itself, and that failure is the data
+        # point, not a crash
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal((B, T)) * 0.1,
+            jnp.float32)
+        params = model.init(jax.random.key(0), x)
+
+        def loss(p):
+            out = model.apply(p, x)
+            return infonce_loss_and_metrics(out.preds, out.z)[0]
+
         compiled = jax.jit(jax.grad(loss)).lower(params).compile()
         if jax.default_backend() == "tpu":
             ma = compiled.memory_analysis()
             rec["temp_mib"] = round(ma.temp_size_in_bytes / 2**20, 1)
+        # one host fetch costs ~36 ms on the axon tunnel (CLAUDE.md) and
+        # timeit syncs ONCE per call, adding 36/n ms to the reported step:
+        # pick n from a coarse probe so that error stays <~1% — 300 iters
+        # for short steps, fewer (where the absolute error is relatively
+        # tiny) once a step costs tens of ms
+        coarse = timeit(lambda: first(compiled(params)), n=3)
+        n = max(30, min(300, int(6000.0 / max(coarse, 1.0))))
         rec["fwd_bwd_ms"] = round(timeit(lambda: first(compiled(params)),
                                          n=n), 2)
+        rec["timing_n"] = n
         rec["ok"] = True
     except Exception as e:  # OOM/compile failure IS the data point
         rec.update(ok=False, error=f"{type(e).__name__}: {str(e)[:160]}")
@@ -79,18 +92,21 @@ def sweep(B: int, T0: int, max_doublings: int) -> None:
 
     for fam, mk in (("baseline", gru), ("transformer_gar", tf)):
         for remat in (False, True):
-            best = None
+            best, failed = None, False
             T = T0
             for _ in range(max_doublings + 1):
-                rec = point(fam, B, T, mk(T, remat), n=3)
+                rec = point(fam, B, T, mk(T, remat))
                 print(json.dumps(rec), flush=True)
                 if not rec["ok"]:
+                    failed = True
                     break
                 best = T
                 T *= 2
+            # hit_cap: the leg never failed — max_ok_T is CENSORED by
+            # --max-doublings, not a measured memory limit
             print(json.dumps({
                 "family": fam, "remat": remat, "B": B,
-                "max_ok_T": best,
+                "max_ok_T": best, "hit_cap": not failed,
                 "max_ok_seconds": round(best / 16_000, 2) if best else None,
             }), flush=True)
 

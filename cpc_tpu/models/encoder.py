@@ -205,10 +205,7 @@ class ConvEncoder(nn.Module):
             parts.append(jnp.where(me == R - 1, jnp.zeros_like(right),
                                    right))
         x = jnp.concatenate(parts, axis=1) if len(parts) > 1 else x
-        x = self.convs[i](x)
-        if self.norms[i] is not None:
-            x = self.norms[i](x)
-        return _activation(cfg.activation)(x)
+        return self._layer(x, i)  # one remat-unit definition for both paths
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         cfg = self.config

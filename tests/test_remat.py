@@ -109,6 +109,20 @@ def test_transformer_remat_matches_with_dropout():
         _x(), rngs={"dropout": jax.random.key(7)})
 
 
+def test_transformer_remat_flash_kernel():
+    """ar.remat wrapped around the Pallas flash-attention kernel: the
+    custom-VJP op must recompute correctly inside the checkpointed block
+    (remat replays the kernel's forward, then runs its saved-lse backward).
+    Grads must equal the UN-checkpointed flash path bit-for-bit semantics."""
+    base = _conv_cfg()
+    tf = ArConfig(kind="transformer", d_ar=16, num_layers=2, num_heads=2,
+                  attn_impl="flash")
+    _assert_grads_equal(
+        dataclasses.replace(base, ar=tf),
+        dataclasses.replace(base, ar=dataclasses.replace(tf, remat=True)),
+        _x(), rtol=1e-5, atol=1e-6)
+
+
 def test_both_remats_compose():
     base = _conv_cfg()
     tf = ArConfig(kind="transformer", d_ar=16, num_layers=1, num_heads=2)

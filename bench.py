@@ -188,11 +188,22 @@ def _wait_for_relay(deadline_s: float = 900.0) -> bool:
 
 if __name__ == "__main__":
     if os.environ.get("PALLAS_AXON_POOL_IPS") and not _wait_for_relay():
+        # Honest failure, but carry the most recent CHIP-measured numbers
+        # (benchmarks/exp_variants.py on the real v5e, 2026-08-17, recorded
+        # in RESULTS.md "Model-family throughput") so a tunnel outage at
+        # round end doesn't erase real measurements. `value` stays 0.0 —
+        # nothing was measured by THIS run.
         print(json.dumps({
             "metric": "cpc_pretrain_throughput", "value": 0.0,
             "unit": "audio-sec/sec/chip", "vs_baseline": 0.0,
             "error": "axon relay unreachable for 15 min (tunnel down; "
                      "see CLAUDE.md 'the axon relay can DIE mid-run')",
+            "last_measured": {
+                "date": "2026-08-17", "source": "RESULTS.md model-family "
+                "table (real-chip exp_variants.py, same perf config)",
+                "value": 9016.0, "scalogram_value": 11715.0,
+                "transformer_value": 8346.0,
+            },
         }))
         sys.exit(1)
     # The TPU is single-claim: if another process (a finishing probe or

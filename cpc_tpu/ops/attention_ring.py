@@ -48,7 +48,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from cpc_tpu.ops.ring_util import pvary, ring_perm
+from cpc_tpu.ops.ring_util import ring_perm
 
 _NEG = -1e30
 
@@ -100,13 +100,14 @@ def _ring_fwd(q, k, v, scale, axis_name):
         vc = jax.lax.ppermute(vc, axis_name, perm)
         return (m, l, acc, kc, vc), None
 
-    # pcast: the running stats become device-varying after the first fold
+    # vma: the running stats become device-varying after the first fold
     # (the causal mask depends on axis_index), so the scan carry must start
-    # marked varying over the ring axis too
-    init = tuple(pvary(x, axis_name) for x in (
-        jnp.full((BH, T_loc), _NEG, jnp.float32),
-        jnp.zeros((BH, T_loc), jnp.float32),
-        jnp.zeros((BH, T_loc, Dh), jnp.float32))) + (k, v)
+    # marked varying — and not just over the ring axis: under a 2-D DP x CP
+    # mesh q/k/v are ALSO data-varying. Deriving the initializers from q32
+    # arithmetically inherits exactly the inputs' varying set either way.
+    init = (q32[..., 0] * 0 + _NEG,
+            q32[..., 0] * 0,
+            q32 * 0) + (k, v)
     # r=0 scores the OWN chunk first (its diagonal seeds the running max for
     # every row); the last chunk is scored without the discarded rotation
     (m, l, acc, k_last, v_last), _ = jax.lax.scan(
@@ -165,7 +166,9 @@ def _ring_bwd_rule(scale, axis_name, res, g):
                           for x in (kc, vc, dk, dv))
         return (dq, kc, vc, dk, dv), None
 
-    zero = pvary(jnp.zeros((BH, T_loc, Dh), jnp.float32), axis_name)
+    # q32 * 0 inherits the inputs' full varying set (ring axis + a DP axis
+    # when running on a 2-D mesh) — see the forward-scan init note
+    zero = q32 * 0
     init = (zero, k, v, zero, zero)
     (dq, k_last, v_last, dk, dv), _ = jax.lax.scan(
         step, init, jnp.arange(R - 1, dtype=jnp.int32))

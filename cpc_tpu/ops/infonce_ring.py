@@ -26,11 +26,14 @@ equality on the virtual 8-device CPU mesh (tests/test_ring_infonce.py).
 
 The kernel itself (`_ring_nll`) is chunk-geometry-agnostic — it scores
 local prediction rows against whatever chunk decomposition rides the ring,
-given each row's GLOBAL positive column. Two wrappers instantiate it:
-`ring_infonce_allsteps` (DP: replicas own BATCH chunks) and
+given each row's GLOBAL positive column. Three geometries instantiate it:
+`ring_infonce_allsteps` (DP: replicas own BATCH chunks),
 `ring_infonce_allsteps_ctx` (context parallelism: devices own TIME chunks
 of the same batch — the loss half of parallel/cp.py, where a row's
-positive usually lives in a neighbor's chunk).
+positive usually lives in a neighbor's chunk), and the latter's
+`data_axis=` mode (2-D DP x CP: devices own (batch-chunk, time-chunk)
+tiles and ONE ring over the flattened (data, ctx) axes sweeps the global
+B_glob * T_glob pool).
 """
 
 from __future__ import annotations
@@ -187,10 +190,11 @@ def ring_infonce_allsteps(
 
 
 def ring_infonce_allsteps_ctx(
-    preds: jnp.ndarray,  # (B, T_loc, K, D) predictions for LOCAL steps
-    z: jnp.ndarray,      # (B, T_loc, D) local TIME chunk of the latents
+    preds: jnp.ndarray,  # (B_loc, T_loc, K, D) predictions for LOCAL steps
+    z: jnp.ndarray,      # (B_loc, T_loc, D) local TIME chunk of the latents
     *,
     axis_name: str,
+    data_axis: str | None = None,
 ) -> Tuple[jnp.ndarray, dict]:
     """All-steps InfoNCE with the TIME axis sharded — the loss half of
     context parallelism (parallel/cp.py; the batch-sharded DP twin is
@@ -208,11 +212,22 @@ def ring_infonce_allsteps_ctx(
     the gathered arrays — except argmax TIES in the accuracy metric: the
     ring pool is time-chunk-major while the gathered pool is batch-major,
     so a bit-exact score tie can crown a different (equally maximal)
-    winner; loss and gradients are order-invariant and unaffected."""
+    winner; loss and gradients are order-invariant and unaffected.
+
+    With `data_axis` set (2-D DP x CP mesh: batch sharded over data_axis,
+    time over axis_name) the SAME kernel sweeps one logical ring over the
+    flattened (data, ctx) device set — jax flattens tuple axis_names
+    row-major and ppermute/axis_index agree on that layout (ring_util) —
+    so every prediction scores against the GLOBAL B_glob * T_glob pool
+    with per-device state still one chunk + one score tile. A row's
+    positive lives in its OWN data row (chunk me_d * R_c + t_tgt // T_loc):
+    other data rows' chunks contribute negatives only. Loss/acc are global
+    over both axes."""
     B, T_loc, K, D = preds.shape
-    R = jax.lax.axis_size(axis_name)
-    me = jax.lax.axis_index(axis_name)
-    T_glob = R * T_loc
+    ax = (axis_name if data_axis is None else (data_axis, axis_name))
+    R_c = jax.lax.axis_size(axis_name)
+    me_c = jax.lax.axis_index(axis_name)
+    T_glob = R_c * T_loc
     # rows ordered (t, k, i), matching the DP wrapper
     p_flat = preds.transpose(1, 2, 0, 3).reshape(T_loc * K * B, D)
     z_flat = z.reshape(B * T_loc, D)
@@ -220,17 +235,25 @@ def ring_infonce_allsteps_ctx(
     i = r % B
     tk = r // B
     k = tk % K
-    t_glob = me * T_loc + tk // K
+    t_glob = me_c * T_loc + tk // K
     t_tgt = t_glob + k + 1
-    labels = ((t_tgt // T_loc) * (B * T_loc) + i * T_loc + t_tgt % T_loc)
+    chunk = t_tgt // T_loc  # ctx ring position of the positive's chunk
+    if data_axis is not None:
+        # flattened (data-major) chunk id: the positive shares MY data row
+        chunk = jax.lax.axis_index(data_axis) * R_c + chunk
+    labels = chunk * (B * T_loc) + i * T_loc + t_tgt % T_loc
     valid = t_glob < T_glob - K
     labels = jnp.where(valid, labels, -1)
-    nll, correct = _ring_nll(p_flat, z_flat, labels, axis_name)
+    nll, correct = _ring_nll(p_flat, z_flat, labels, ax)
     w = valid.astype(jnp.float32)
-    n_valid = jax.lax.psum(jnp.sum(w), axis_name)
-    loss = jax.lax.psum(jnp.sum(nll * w), axis_name) / n_valid
+    if data_axis is not None:
+        # valid depends on the ctx position only — mark it varying over the
+        # data axis too so the tuple-axis psums below pass the vma check
+        w = pvary(w, data_axis)
+    n_valid = jax.lax.psum(jnp.sum(w), ax)
+    loss = jax.lax.psum(jnp.sum(nll * w), ax) / n_valid
     ck = (correct * w).reshape(T_loc, K, B)
     wk = w.reshape(T_loc, K, B)
-    acc = (jax.lax.psum(jnp.sum(ck, axis=(0, 2)), axis_name)
-           / jax.lax.psum(jnp.sum(wk, axis=(0, 2)), axis_name))
+    acc = (jax.lax.psum(jnp.sum(ck, axis=(0, 2)), ax)
+           / jax.lax.psum(jnp.sum(wk, axis=(0, 2)), ax))
     return loss, {"loss": loss, "acc": acc, "acc_mean": jnp.mean(acc)}

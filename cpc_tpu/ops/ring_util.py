@@ -14,12 +14,19 @@ from __future__ import annotations
 import jax
 
 
-def ring_perm(axis_name: str):
-    """[(j, j+1 mod R)] — each device forwards its chunk to its neighbor."""
+def ring_perm(axis_name):
+    """[(j, j+1 mod R)] — each device forwards its chunk to its neighbor.
+
+    axis_name may be a single mesh axis or a TUPLE of axes: jax flattens a
+    tuple row-major (index = idx_first * size_second + idx_second), and
+    ppermute/axis_index agree on that layout, so one logical ring can sweep
+    a 2-D (data, ctx) mesh — the DP x CP InfoNCE geometry."""
     R = jax.lax.axis_size(axis_name)
     return [(j, (j + 1) % R) for j in range(R)]
 
 
-def pvary(x, axis_name: str):
-    """Mark a scan-carry initializer device-varying over the ring axis."""
-    return jax.lax.pcast(x, (axis_name,), to="varying")
+def pvary(x, axis_name):
+    """Mark a scan-carry initializer device-varying over the ring axis
+    (or axes — accepts the same str | tuple as ring_perm)."""
+    axes = (axis_name,) if isinstance(axis_name, str) else tuple(axis_name)
+    return jax.lax.pcast(x, axes, to="varying")

@@ -18,6 +18,12 @@ op — for audio beyond one chip, encode time-chunks data-parallel (the
 fields are strictly local) and reshard z (B, T, D) -> T-sharded; gar+loss
 then run CP. `cp_transformer_apply` is the building block and the unit the
 driver dryrun exercises end-to-end with gradients.
+
+Every entry point also takes `dp_axis` for a 2-D DP x CP mesh (batch
+sharded over data, time over ctx): the per-position ops and the attention
+ring are batch-independent, and the InfoNCE ring runs over the FLATTENED
+(dp, ctx) axes so negatives still span the global B_glob * T_glob pool —
+batch scale and context scale compose instead of competing for the mesh.
 """
 
 from __future__ import annotations
@@ -34,8 +40,9 @@ from cpc_tpu.config import ArConfig
 
 
 @functools.lru_cache(maxsize=32)
-def _cp_runner(cfg: ArConfig, mesh: Mesh, axis: str, dtype, param_dtype):
-    """Jitted shard_map apply, cached per (config, mesh, axis, dtypes) so
+def _cp_runner(cfg: ArConfig, mesh: Mesh, axis: str, dp_axis, dtype,
+               param_dtype):
+    """Jitted shard_map apply, cached per (config, mesh, axes, dtypes) so
     repeated calls reuse the compiled executable instead of retracing the
     whole transformer (remote TPU compiles cost minutes — CLAUDE.md)."""
     from cpc_tpu.models.transformer import CausalTransformer
@@ -45,8 +52,8 @@ def _cp_runner(cfg: ArConfig, mesh: Mesh, axis: str, dtype, param_dtype):
     @jax.jit
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(), P(None, axis, None)),
-        out_specs=P(None, axis, None))
+        in_specs=(P(), P(dp_axis, axis, None)),
+        out_specs=P(dp_axis, axis, None))
     def run(p, z_shard):
         return model.apply(p, z_shard)
 
@@ -55,6 +62,7 @@ def _cp_runner(cfg: ArConfig, mesh: Mesh, axis: str, dtype, param_dtype):
 
 def cp_transformer_apply(cfg: ArConfig, params: Any, z: jnp.ndarray, *,
                          mesh: Mesh, axis: str | None = None,
+                         dp_axis: str | None = None,
                          dtype: Any = jnp.float32,
                          param_dtype: Any = jnp.float32) -> jnp.ndarray:
     """c = gar(z) with T sharded over `axis` (default: cfg.cp_axis).
@@ -63,22 +71,26 @@ def cp_transformer_apply(cfg: ArConfig, params: Any, z: jnp.ndarray, *,
     standard CausalTransformer tree (replicated — any checkpoint loads).
     Output is the global (B, T, d_ar), sharded the same way. dtype/
     param_dtype thread to the module (run bf16 pipelines at bf16 — the
-    T-sharded activations are the memory CP exists to split).
+    T-sharded activations are the memory CP exists to split). With
+    `dp_axis` (2-D DP x CP mesh) B is additionally sharded over that axis
+    — every transformer op is batch-independent, so this is free.
     """
     axis = axis or cfg.cp_axis
     R = _axis_size(mesh, axis)
     T = z.shape[1]
     if T % R:
         raise ValueError(f"T={T} not divisible by mesh axis {axis!r}={R}")
+    _check_dp(mesh, dp_axis, axis, z.shape[0])
     if cfg.attn_impl != "ring" or cfg.cp_axis != axis:
         cfg = dataclasses.replace(cfg, attn_impl="ring", cp_axis=axis)
-    return _cp_runner(cfg, mesh, axis, dtype, param_dtype)(params, z)
+    return _cp_runner(cfg, mesh, axis, dp_axis, dtype, param_dtype)(params, z)
 
 
-def _gar_heads_ctx_loss(model, model_cfg, params, z, axis):
+def _gar_heads_ctx_loss(model, model_cfg, params, z, axis, dp_axis=None):
     """Shared tail of both CP runners: gar (ring attention) + the fused
     K-head Dense (per-position on the local chunk) + the time-sharded
-    all-steps InfoNCE sweeping the global pool on the same ring."""
+    all-steps InfoNCE sweeping the global pool on the same ring (over the
+    flattened (dp_axis, axis) ring when batch is sharded too)."""
     from cpc_tpu.models.cpc import CPCModel
     from cpc_tpu.ops.infonce_ring import ring_infonce_allsteps_ctx
 
@@ -86,11 +98,12 @@ def _gar_heads_ctx_loss(model, model_cfg, params, z, axis):
     B, T_loc, _ = c.shape
     preds = model.apply(params, c, method=CPCModel.predict).reshape(
         B, T_loc, model_cfg.loss.prediction_steps, model_cfg.encoder.d_enc)
-    return ring_infonce_allsteps_ctx(preds, z, axis_name=axis)
+    return ring_infonce_allsteps_ctx(preds, z, axis_name=axis,
+                                     data_axis=dp_axis)
 
 
 @functools.lru_cache(maxsize=32)
-def _cp_audio_runner(model_cfg, mesh: Mesh, axis: str):
+def _cp_audio_runner(model_cfg, mesh: Mesh, axis: str, dp_axis):
     from cpc_tpu.models.cpc import CPCModel, _dtype
     from cpc_tpu.models.encoder import ConvEncoder
 
@@ -114,30 +127,42 @@ def _cp_audio_runner(model_cfg, mesh: Mesh, axis: str):
     @jax.jit
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(), P(None, axis)),
+        in_specs=(P(), P(dp_axis, axis)),
         out_specs=(P(), P()))
     def run(params, x_shard):
         z = enc.apply({"params": params["params"]["encoder"]}, x_shard)
-        return _gar_heads_ctx_loss(model, model_cfg, params, z, axis)
+        return _gar_heads_ctx_loss(model, model_cfg, params, z, axis,
+                                   dp_axis)
 
     return run
 
 
 def cp_cpc_loss_from_audio(model_cfg, params, x: jnp.ndarray, *,
-                           mesh: Mesh, axis: str | None = None):
+                           mesh: Mesh, axis: str | None = None,
+                           dp_axis: str | None = None):
     """The WHOLE CPC loss from raw audio, context-parallel end-to-end:
     waveform (B, S) sharded along time → conv encoder with per-layer halo
     exchange (models/encoder.py ConvEncoder.cp_axis) → gar (ring attention)
     → heads → time-sharded all-steps InfoNCE. Params replicated; every
     activation T-sharded; == the single-device loss and parameter grads
     (tests/test_ring_attention.py). S must divide by axis_size *
-    prod(encoder.strides)."""
+    prod(encoder.strides).
+
+    `dp_axis` turns this into the 2-D DP x CP training loss: batch sharded
+    over dp_axis, time over axis, and ONE logical InfoNCE ring sweeping the
+    flattened (dp, ctx) device set so negatives span the GLOBAL
+    B_glob * T_glob pool — the large-batch long-context configuration
+    neither 1-D strategy reaches alone. Note encoder.norm='batch' computes
+    its statistics per DATA shard in this mode (the global (B_loc, T_glob)
+    set — standard DP BatchNorm semantics); all other norms are per-sample
+    and stay exactly equal to single-device."""
     axis = axis or model_cfg.ar.cp_axis
     R = _axis_size(mesh, axis)
     if x.shape[1] % R:
         raise ValueError(f"audio length {x.shape[1]} not divisible by mesh "
                          f"axis {axis!r}={R}")
-    return _cp_audio_runner(model_cfg, mesh, axis)(params, x)
+    _check_dp(mesh, dp_axis, axis, x.shape[0])
+    return _cp_audio_runner(model_cfg, mesh, axis, dp_axis)(params, x)
 
 
 def _validate_cp_model(model_cfg) -> None:
@@ -163,8 +188,22 @@ def _axis_size(mesh: Mesh, axis: str) -> int:
     return mesh.shape[axis]
 
 
+def _check_dp(mesh: Mesh, dp_axis, axis: str, B: int) -> None:
+    """Validate the optional DP axis of a 2-D DP x CP call."""
+    if dp_axis is None:
+        return
+    if dp_axis == axis:
+        raise ValueError(
+            f"dp_axis and the context axis must be distinct mesh axes "
+            f"(both {axis!r})")
+    R_d = _axis_size(mesh, dp_axis)
+    if B % R_d:
+        raise ValueError(f"batch {B} not divisible by mesh axis "
+                         f"{dp_axis!r}={R_d}")
+
+
 @functools.lru_cache(maxsize=32)
-def _cp_loss_runner(model_cfg, mesh: Mesh, axis: str):
+def _cp_loss_runner(model_cfg, mesh: Mesh, axis: str, dp_axis):
     from cpc_tpu.models.cpc import CPCModel
 
     _validate_cp_model(model_cfg)
@@ -178,16 +217,18 @@ def _cp_loss_runner(model_cfg, mesh: Mesh, axis: str):
     @jax.jit
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(), P(None, axis, None)),
+        in_specs=(P(), P(dp_axis, axis, None)),
         out_specs=(P(), P()))
     def run(params, z_shard):
-        return _gar_heads_ctx_loss(model, model_cfg, params, z_shard, axis)
+        return _gar_heads_ctx_loss(model, model_cfg, params, z_shard, axis,
+                                   dp_axis)
 
     return run
 
 
 def cp_cpc_loss_and_metrics(model_cfg, params, z: jnp.ndarray, *,
-                            mesh: Mesh, axis: str | None = None):
+                            mesh: Mesh, axis: str | None = None,
+                            dp_axis: str | None = None):
     """The full CPC loss path, context-parallel: gar (ring attention) →
     prediction heads → all-steps InfoNCE over the GLOBAL B*T pool
     (ops/infonce_ring.ring_infonce_allsteps_ctx), with z (B, T, D) sharded
@@ -197,10 +238,14 @@ def cp_cpc_loss_and_metrics(model_cfg, params, z: jnp.ndarray, *,
     (tests/test_ring_attention.py). Production note: encode audio
     data-parallel (the conv fields are strictly local in time), reshard
     (B, T, D) → T-sharded once, then this is the training step's loss half.
-    """
+
+    `dp_axis` additionally shards B over that mesh axis (2-D DP x CP): one
+    flattened (dp, ctx) InfoNCE ring sweeps the global B_glob * T_glob
+    pool — see cp_cpc_loss_from_audio."""
     axis = axis or model_cfg.ar.cp_axis
     R = _axis_size(mesh, axis)
     if z.shape[1] % R:
         raise ValueError(f"T={z.shape[1]} not divisible by mesh axis "
                          f"{axis!r}={R}")
-    return _cp_loss_runner(model_cfg, mesh, axis)(params, z)
+    _check_dp(mesh, dp_axis, axis, z.shape[0])
+    return _cp_loss_runner(model_cfg, mesh, axis, dp_axis)(params, z)

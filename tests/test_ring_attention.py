@@ -264,6 +264,119 @@ def test_cp_loss_from_audio_equals_single_device(mesh):
         np.testing.assert_allclose(a, b, rtol=5e-5, atol=5e-5)
 
 
+# --- 2-D DP x CP: batch AND time sharded, one flattened InfoNCE ring -------
+
+def _mesh2d(shape=(2, 4)):
+    return make_mesh(shape, ("data", "ctx"))
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2)])
+def test_dp_ctx_ring_infonce_equals_allsteps(shape):
+    """(data, ctx)-tiled ring pool == the gathered all_steps reference on
+    the GLOBAL batch: loss, per-k accuracy, and both gradients — for both
+    2-D mesh aspect ratios."""
+    from cpc_tpu.ops.infonce import infonce_loss_and_metrics
+    from cpc_tpu.ops.infonce_ring import ring_infonce_allsteps_ctx
+
+    mesh2 = _mesh2d(shape)
+    B, T, K, D = 2 * shape[0], shape[1] * 6, 3, 16
+    r = np.random.default_rng(11)
+    preds = jnp.asarray(r.standard_normal((B, T, K, D)), jnp.float32)
+    z = jnp.asarray(r.standard_normal((B, T, D)), jnp.float32)
+
+    fn = functools.partial(ring_infonce_allsteps_ctx, axis_name="ctx",
+                           data_axis="data")
+    run = jax.jit(jax.shard_map(
+        fn, mesh=mesh2,
+        in_specs=(P("data", "ctx", None, None), P("data", "ctx", None)),
+        out_specs=(P(), P())))
+
+    want_loss, want_m = infonce_loss_and_metrics(preds, z,
+                                                 negatives="all_steps")
+    got_loss, got_m = run(preds, z)
+    np.testing.assert_allclose(got_loss, want_loss, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(got_m["acc"], want_m["acc"], rtol=0, atol=0)
+
+    g_want = jax.grad(lambda p, zz: infonce_loss_and_metrics(
+        p, zz, negatives="all_steps")[0], argnums=(0, 1))(preds, z)
+    g_got = jax.grad(lambda p, zz: run(p, zz)[0], argnums=(0, 1))(preds, z)
+    for a, b, name in zip(g_got, g_want, ("dpreds", "dz")):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5, err_msg=name)
+
+
+def test_dp_cp_loss_from_audio_equals_single_device():
+    """Raw waveform in, loss out, on the 2-D (data, ctx) mesh: halo-exchange
+    encoder + ring attention per data row + the flattened-ring InfoNCE ==
+    the single-device loss on the GLOBAL batch, values AND param grads."""
+    from cpc_tpu.config import EncoderConfig, LossConfig, ModelConfig
+    from cpc_tpu.models.cpc import CPCModel
+    from cpc_tpu.ops.infonce import infonce_loss_and_metrics
+    from cpc_tpu.parallel.cp import cp_cpc_loss_from_audio
+
+    mesh2 = _mesh2d((2, 4))
+    T = 4 * 8
+    mcfg = ModelConfig(
+        encoder=EncoderConfig(channels=(8, 16), kernels=(4, 4),
+                              strides=(2, 2), d_enc=16),
+        ar=ArConfig(kind="transformer", d_ar=16, num_layers=1, num_heads=2,
+                    max_len=T),
+        loss=LossConfig(prediction_steps=3, negatives="all_steps"))
+    model = CPCModel(mcfg)
+    x = jnp.asarray(np.random.default_rng(13).standard_normal((4, T * 4)),
+                    jnp.float32)
+    params = model.init(jax.random.PRNGKey(4), x)
+
+    def ref_loss(p):
+        out = model.apply(p, x)
+        return infonce_loss_and_metrics(out.preds, out.z,
+                                        negatives="all_steps")[0]
+
+    def dpcp_loss(p):
+        return cp_cpc_loss_from_audio(mcfg, p, x, mesh=mesh2, axis="ctx",
+                                      dp_axis="data")[0]
+
+    np.testing.assert_allclose(dpcp_loss(params), ref_loss(params),
+                               rtol=1e-5, atol=1e-6)
+    flat_r, _ = jax.tree_util.tree_flatten(jax.grad(ref_loss)(params))
+    flat_c, _ = jax.tree_util.tree_flatten(jax.grad(dpcp_loss)(params))
+    for a, b in zip(flat_c, flat_r):
+        np.testing.assert_allclose(a, b, rtol=5e-5, atol=5e-5)
+
+
+def test_dp_cp_transformer_apply_and_validation():
+    """cp_transformer_apply with dp_axis: batch-and-time-sharded forward ==
+    single-device; bad dp axes raise actionable errors."""
+    from cpc_tpu.parallel.cp import cp_cpc_loss_and_metrics
+
+    mesh2 = _mesh2d((2, 4))
+    T = 4 * 16
+    z = jnp.asarray(np.random.default_rng(17).standard_normal((4, T, 24)),
+                    jnp.float32)
+    m_ref = CausalTransformer(_cfg(T, "xla"))
+    params = m_ref.init(jax.random.PRNGKey(5), z)
+    want = m_ref.apply(params, z)
+    got = cp_transformer_apply(_cfg(T), params, z, mesh=mesh2, axis="ctx",
+                               dp_axis="data")
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    with pytest.raises(ValueError, match="not divisible by mesh axis"):
+        cp_transformer_apply(_cfg(T), params, z[:3], mesh=mesh2, axis="ctx",
+                             dp_axis="data")
+    with pytest.raises(ValueError, match="distinct"):
+        cp_transformer_apply(_cfg(T), params, z, mesh=mesh2, axis="ctx",
+                             dp_axis="ctx")
+    with pytest.raises(ValueError, match="mesh has no"):
+        from cpc_tpu.config import (EncoderConfig, LossConfig, ModelConfig)
+        mcfg = ModelConfig(
+            encoder=EncoderConfig(channels=(8,), kernels=(4,), strides=(2,),
+                                  d_enc=8),
+            ar=ArConfig(kind="transformer", d_ar=8, num_layers=1,
+                        num_heads=2, max_len=T),
+            loss=LossConfig(prediction_steps=2, negatives="all_steps"))
+        cp_cpc_loss_and_metrics(mcfg, params, z, mesh=mesh2, axis="ctx",
+                                dp_axis="model")
+
+
 def test_cp_training_loss_decreases(mesh):
     """The CP path is trainable, not just correct: ~40 Adam steps through
     cp_cpc_loss_from_audio on one small batch drive the loss down."""

@@ -165,6 +165,44 @@ def cp_cpc_loss_from_audio(model_cfg, params, x: jnp.ndarray, *,
     return _cp_audio_runner(model_cfg, mesh, axis, dp_axis)(params, x)
 
 
+def make_cp_train_step(cfg, *, mesh: Mesh, axis: str | None = None,
+                       dp_axis: str | None = None):
+    """FULL context-parallel (or 2-D DP x CP) training step from raw audio:
+    jit of value_and_grad through cp_cpc_loss_from_audio + the repo's
+    standard optimizer (train/train_step.make_optimizer — Adam/AdamW,
+    warmup/cosine schedule, global-norm clipping, all from cfg.train).
+
+    Returns (step, optimizer); step(params, opt_state, x) -> (params,
+    opt_state, metrics) with metrics carrying the ring-global loss /
+    per-k acc / grad_norm. x is the float waveform (B, S_global) — shard
+    it with NamedSharding(mesh, P(dp_axis, axis)) to keep the batch off
+    any single device; params/opt_state stay replicated (CP's memory win
+    is the ACTIVATIONS). Trainability is tested on the 8-virtual-device
+    mesh (tests/test_ring_attention.py) and the driver dryrun jits one
+    full step per round."""
+    import optax
+
+    from cpc_tpu.train.train_step import make_optimizer
+
+    mcfg = cfg.model
+    axis = axis or mcfg.ar.cp_axis
+    opt = make_optimizer(cfg)
+
+    @jax.jit
+    def step(params, opt_state, x):
+        (_, metrics), grads = jax.value_and_grad(
+            lambda p: cp_cpc_loss_from_audio(mcfg, p, x, mesh=mesh,
+                                             axis=axis, dp_axis=dp_axis),
+            has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return params, opt_state, metrics
+
+    return step, opt
+
+
 def _validate_cp_model(model_cfg) -> None:
     if model_cfg.ar.kind != "transformer":
         raise ValueError(

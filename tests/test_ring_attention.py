@@ -304,6 +304,35 @@ def test_dp_ctx_ring_infonce_equals_allsteps(shape):
         np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5, err_msg=name)
 
 
+def test_dp_ctx_ring_infonce_all_invalid_shards():
+    """Edge case: T_loc <= K, so the TRAILING ctx devices hold zero valid
+    prediction rows (every local row is a masked -1 filler). The global
+    psum denominators must still be right and loss/grads equal the
+    gathered reference."""
+    from cpc_tpu.ops.infonce import infonce_loss_and_metrics
+    from cpc_tpu.ops.infonce_ring import ring_infonce_allsteps_ctx
+
+    mesh2 = _mesh2d((2, 4))
+    B, T, K, D = 4, 8, 3, 8  # T_loc=2: ctx device 3 fully invalid
+    r = np.random.default_rng(23)
+    preds = jnp.asarray(r.standard_normal((B, T, K, D)), jnp.float32)
+    z = jnp.asarray(r.standard_normal((B, T, D)), jnp.float32)
+    run = jax.jit(jax.shard_map(
+        functools.partial(ring_infonce_allsteps_ctx, axis_name="ctx",
+                          data_axis="data"),
+        mesh=mesh2,
+        in_specs=(P("data", "ctx", None, None), P("data", "ctx", None)),
+        out_specs=(P(), P())))
+    want_loss, _ = infonce_loss_and_metrics(preds, z, negatives="all_steps")
+    got_loss, _ = run(preds, z)
+    np.testing.assert_allclose(got_loss, want_loss, rtol=1e-5, atol=1e-6)
+    g_want = jax.grad(lambda p, zz: infonce_loss_and_metrics(
+        p, zz, negatives="all_steps")[0], argnums=(0, 1))(preds, z)
+    g_got = jax.grad(lambda p, zz: run(p, zz)[0], argnums=(0, 1))(preds, z)
+    for a, b, name in zip(g_got, g_want, ("dpreds", "dz")):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5, err_msg=name)
+
+
 def test_dp_cp_loss_from_audio_equals_single_device():
     """Raw waveform in, loss out, on the 2-D (data, ctx) mesh: halo-exchange
     encoder + ring attention per data row + the flattened-ring InfoNCE ==

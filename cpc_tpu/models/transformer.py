@@ -27,7 +27,9 @@ instead. FlashSelfAttention carries the exact flax-MHA parameter tree
 checkpoint loads under either impl — and the decode/KV-cache twin keeps the
 flax path regardless (one new latent per step has no score matrix to fuse).
 
-Context parallelism (ar.attn_impl='ring'): past flash, the wall is the
+Context parallelism (ar.attn_impl='ring', or 'zigzag' for the
+load-balanced schedule that computes only the causal half of the score
+tiles — ops/attention_zigzag.py): past flash, the wall is the
 (B, T, D) activations themselves. Every op in this module except attention
 is per-position, so apply the module under shard_map with z sharded along T
 on the `ar.cp_axis` mesh axis and attention running the KV ppermute ring
@@ -98,16 +100,20 @@ class RingSelfAttention(FlashSelfAttention):
     """
 
     cp_axis: str = "ctx"
+    zigzag: bool = False  # balanced schedule (ops/attention_zigzag.py):
+    # same contiguous-shard contract, half the score FLOPs
 
     def __call__(self, inputs_q, inputs_kv=None, mask=None,
                  deterministic: bool = True):
         from cpc_tpu.ops.attention_ring import ring_causal_mha
+        from cpc_tpu.ops.attention_zigzag import zigzag_causal_mha
         if inputs_kv is None:
             inputs_kv = inputs_q
         q = self.query(inputs_q)   # (B, T_loc, H, Dh)
         k = self.key(inputs_kv)
         v = self.value(inputs_kv)
-        return self.out(ring_causal_mha(q, k, v, axis_name=self.cp_axis))
+        mha = zigzag_causal_mha if self.zigzag else ring_causal_mha
+        return self.out(mha(q, k, v, axis_name=self.cp_axis))
 
 
 class _Block(nn.Module):
@@ -125,13 +131,14 @@ class _Block(nn.Module):
         self.ln_attn = nn.LayerNorm(dtype=self.dtype,
                                     param_dtype=self.param_dtype,
                                     name="LayerNorm_0")
-        if self.attn_impl == "ring" and not self.decode:
+        if self.attn_impl in ("ring", "zigzag") and not self.decode:
             self.attn = RingSelfAttention(
                 num_heads=self.num_heads,
                 d_model=self.d_model,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 cp_axis=self.cp_axis,
+                zigzag=self.attn_impl == "zigzag",
                 name="MultiHeadDotProductAttention_0",
             )
         elif self.attn_impl in ("flash", "flash16") and not self.decode:
@@ -184,19 +191,21 @@ class CausalTransformer(nn.Module):
 
     def setup(self):
         cfg = self.config
-        if cfg.attn_impl not in ("xla", "flash", "flash16", "ring"):
+        if cfg.attn_impl not in ("xla", "flash", "flash16", "ring",
+                                 "zigzag"):
             raise ValueError(
-                f"ar.attn_impl must be 'xla'|'flash'|'flash16'|'ring', "
-                f"got {cfg.attn_impl!r}")
+                f"ar.attn_impl must be 'xla'|'flash'|'flash16'|'ring'|"
+                f"'zigzag', got {cfg.attn_impl!r}")
         if cfg.attn_impl != "xla" and cfg.dropout > 0:
             raise ValueError(
                 f"ar.attn_impl={cfg.attn_impl!r} does not implement "
                 "attention-weight dropout (flax's MHA semantics); use "
                 "attn_impl='xla' with dropout, or dropout=0.0 with flash")
-        if cfg.attn_impl == "ring" and self.decode:
+        if cfg.attn_impl in ("ring", "zigzag") and self.decode:
             raise ValueError(
-                "ar.attn_impl='ring' has no KV-cache decode twin — stream "
-                "via attn_impl='xla' (eval.streaming pins it anyway)")
+                f"ar.attn_impl={cfg.attn_impl!r} has no KV-cache decode "
+                "twin — stream via attn_impl='xla' (eval.streaming pins it "
+                "anyway)")
         self.in_proj = nn.Dense(cfg.d_ar, dtype=self.dtype,
                                 param_dtype=self.param_dtype, name="in_proj")
         self.pos_embed = self.param(
@@ -231,16 +240,17 @@ class CausalTransformer(nn.Module):
                  deterministic: bool = True) -> jnp.ndarray:
         cfg = self.config
         B, T, _ = z.shape
-        if cfg.attn_impl == "ring":
+        if cfg.attn_impl in ("ring", "zigzag"):
             # z is this device's T-shard; positions are globally offset
             try:
                 R = jax.lax.axis_size(cfg.cp_axis)
             except (NameError, KeyError, TypeError) as e:
                 raise ValueError(
-                    f"ar.attn_impl='ring' must be applied inside shard_map "
-                    f"with mesh axis {cfg.cp_axis!r} (z sharded along T) — "
-                    f"use cpc_tpu.parallel.cp.cp_transformer_apply; plain "
-                    f"apply has no {cfg.cp_axis!r} axis ({e})") from e
+                    f"ar.attn_impl={cfg.attn_impl!r} must be applied inside "
+                    f"shard_map with mesh axis {cfg.cp_axis!r} (z sharded "
+                    f"along T) — use cpc_tpu.parallel.cp."
+                    f"cp_transformer_apply; plain apply has no "
+                    f"{cfg.cp_axis!r} axis ({e})") from e
             if R * T > cfg.max_len:
                 raise ValueError(f"global sequence {R}*{T} > max_len "
                                  f"{cfg.max_len}")
@@ -255,7 +265,8 @@ class CausalTransformer(nn.Module):
         x = x + pos.astype(self.dtype)[None]
         x = self.in_drop(x, deterministic=deterministic)
         # flash/ring are causal in-kernel; no (B, 1, T, T) mask tensor
-        mask = (None if cfg.attn_impl in ("flash", "flash16", "ring")
+        mask = (None if cfg.attn_impl in ("flash", "flash16", "ring",
+                                          "zigzag")
                 else nn.make_causal_mask(jnp.ones((B, T)), dtype=bool))
         # ar.remat: checkpoint each block — only the (B, T, d_ar) residual
         # stream stays live across the forward; attention/MLP internals are

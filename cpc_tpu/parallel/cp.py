@@ -81,8 +81,9 @@ def cp_transformer_apply(cfg: ArConfig, params: Any, z: jnp.ndarray, *,
     if T % R:
         raise ValueError(f"T={T} not divisible by mesh axis {axis!r}={R}")
     _check_dp(mesh, dp_axis, axis, z.shape[0])
-    if cfg.attn_impl != "ring" or cfg.cp_axis != axis:
-        cfg = dataclasses.replace(cfg, attn_impl="ring", cp_axis=axis)
+    impl = _ring_impl(cfg.attn_impl)
+    if cfg.attn_impl != impl or cfg.cp_axis != axis:
+        cfg = dataclasses.replace(cfg, attn_impl=impl, cp_axis=axis)
     return _cp_runner(cfg, mesh, axis, dp_axis, dtype, param_dtype)(params, z)
 
 
@@ -115,9 +116,10 @@ def _cp_audio_runner(model_cfg, mesh: Mesh, axis: str, dp_axis):
             "spans window boundaries — encode it data-parallel and use "
             "cp_cpc_loss_and_metrics on the latents)")
     ar = model_cfg.ar
-    if ar.attn_impl != "ring" or ar.cp_axis != axis:
+    impl = _ring_impl(ar.attn_impl)
+    if ar.attn_impl != impl or ar.cp_axis != axis:
         model_cfg = dataclasses.replace(
-            model_cfg, ar=dataclasses.replace(ar, attn_impl="ring",
+            model_cfg, ar=dataclasses.replace(ar, attn_impl=impl,
                                               cp_axis=axis))
     dt, pdt = _dtype(model_cfg.dtype), _dtype(model_cfg.param_dtype)
     enc = ConvEncoder(model_cfg.encoder, dtype=dt, param_dtype=pdt,
@@ -226,6 +228,13 @@ def _axis_size(mesh: Mesh, axis: str) -> int:
     return mesh.shape[axis]
 
 
+def _ring_impl(attn_impl: str) -> str:
+    """CP needs a ring-family attention; keep the user's 'zigzag' choice
+    (the balanced schedule, ops/attention_zigzag.py), coerce anything else
+    to 'ring'."""
+    return attn_impl if attn_impl in ("ring", "zigzag") else "ring"
+
+
 def _check_dp(mesh: Mesh, dp_axis, axis: str, B: int) -> None:
     """Validate the optional DP axis of a 2-D DP x CP call."""
     if dp_axis is None:
@@ -246,9 +255,10 @@ def _cp_loss_runner(model_cfg, mesh: Mesh, axis: str, dp_axis):
 
     _validate_cp_model(model_cfg)
     ar = model_cfg.ar
-    if ar.attn_impl != "ring" or ar.cp_axis != axis:
+    impl = _ring_impl(ar.attn_impl)
+    if ar.attn_impl != impl or ar.cp_axis != axis:
         model_cfg = dataclasses.replace(
-            model_cfg, ar=dataclasses.replace(ar, attn_impl="ring",
+            model_cfg, ar=dataclasses.replace(ar, attn_impl=impl,
                                               cp_axis=axis))
     model = CPCModel(model_cfg)
 

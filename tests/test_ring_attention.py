@@ -264,6 +264,112 @@ def test_cp_loss_from_audio_equals_single_device(mesh):
         np.testing.assert_allclose(a, b, rtol=5e-5, atol=5e-5)
 
 
+# --- zig-zag (load-balanced) ring attention --------------------------------
+
+def _zigzag_global(q, k, v, mesh, axis="ctx"):
+    from cpc_tpu.ops.attention_zigzag import zigzag_causal_mha
+    fn = functools.partial(zigzag_causal_mha, axis_name=axis)
+    spec = P(None, axis, None, None)
+    return jax.jit(jax.shard_map(fn, mesh=mesh, in_specs=(spec,) * 3,
+                                 out_specs=spec))(q, k, v)
+
+
+@pytest.mark.parametrize("T", [16, 64, 256])
+def test_zigzag_forward_matches_reference(mesh, T):
+    """Balanced schedule (own pair + 2 full tiles/step, internal relayout)
+    == the single-device causal oracle, including the T_loc=2 edge where
+    every device holds exactly its two chunks and the scan does all the
+    work (T=16 on the 8-device mesh)."""
+    q, k, v = _qkv(T)
+    got = _zigzag_global(q, k, v, mesh)
+    want = _ref_causal_mha(q, k, v)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_zigzag_gradients_match_reference(mesh):
+    T = 128
+    q, k, v = _qkv(T, seed=31)
+    w = jnp.asarray(np.random.default_rng(32).standard_normal(q.shape),
+                    jnp.float32)
+
+    def f_zz(q, k, v):
+        return jnp.sum(_zigzag_global(q, k, v, mesh) * w)
+
+    def f_ref(q, k, v):
+        return jnp.sum(_ref_causal_mha(q, k, v) * w)
+
+    g_zz = jax.grad(f_zz, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for got, want, name in zip(g_zz, g_ref, "qkv"):
+        np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-5,
+                                   err_msg=f"d{name}")
+
+
+def test_zigzag_on_2d_mesh_and_validation():
+    """zigzag under a (data, ctx) mesh (batch also sharded) == oracle; odd
+    per-device T raises with the actionable message."""
+    from cpc_tpu.ops.attention_zigzag import zigzag_causal_mha
+
+    mesh2 = make_mesh((2, 4), ("data", "ctx"))
+    T = 4 * 8
+    q, k, v = _qkv(T, B=4, seed=33)
+    fn = functools.partial(zigzag_causal_mha, axis_name="ctx")
+    spec = P("data", "ctx", None, None)
+    got = jax.jit(jax.shard_map(fn, mesh=mesh2, in_specs=(spec,) * 3,
+                                out_specs=spec))(q, k, v)
+    np.testing.assert_allclose(got, _ref_causal_mha(q, k, v),
+                               rtol=2e-5, atol=2e-5)
+
+    mesh1 = make_mesh((-1,), ("ctx",))
+    q3, k3, v3 = _qkv(8 * 3, seed=34)  # T_loc = 3, odd
+    with pytest.raises(ValueError, match="even per-device T"):
+        _zigzag_global(q3, k3, v3, mesh1)
+
+
+def test_zigzag_cp_loss_from_audio_equals_single_device(mesh):
+    """ar.attn_impl='zigzag' rides the whole CP path (cp.py preserves it):
+    audio -> halo encoder -> zig-zag gar -> ctx-ring InfoNCE == the
+    single-device loss, values AND parameter gradients."""
+    import dataclasses
+
+    from cpc_tpu.config import EncoderConfig, LossConfig, ModelConfig
+    from cpc_tpu.models.cpc import CPCModel
+    from cpc_tpu.ops.infonce import infonce_loss_and_metrics
+    from cpc_tpu.parallel.cp import cp_cpc_loss_from_audio
+
+    T = 8 * 8
+    mcfg = ModelConfig(
+        encoder=EncoderConfig(channels=(8, 16), kernels=(4, 4),
+                              strides=(2, 2), d_enc=16),
+        ar=ArConfig(kind="transformer", d_ar=16, num_layers=1, num_heads=2,
+                    max_len=T, attn_impl="zigzag"),
+        loss=LossConfig(prediction_steps=3, negatives="all_steps"))
+    # the reference forward uses the same config with plain attention
+    mcfg_ref = ModelConfig(
+        encoder=mcfg.encoder,
+        ar=dataclasses.replace(mcfg.ar, attn_impl="xla"),
+        loss=mcfg.loss)
+    model = CPCModel(mcfg_ref)
+    x = jnp.asarray(np.random.default_rng(37).standard_normal((2, T * 4)),
+                    jnp.float32)
+    params = model.init(jax.random.PRNGKey(7), x)
+
+    def ref_loss(p):
+        out = model.apply(p, x)
+        return infonce_loss_and_metrics(out.preds, out.z,
+                                        negatives="all_steps")[0]
+
+    def zz_loss(p):
+        return cp_cpc_loss_from_audio(mcfg, p, x, mesh=mesh)[0]
+
+    np.testing.assert_allclose(zz_loss(params), ref_loss(params),
+                               rtol=1e-5, atol=1e-6)
+    flat_r, _ = jax.tree_util.tree_flatten(jax.grad(ref_loss)(params))
+    flat_c, _ = jax.tree_util.tree_flatten(jax.grad(zz_loss)(params))
+    for a, b in zip(flat_c, flat_r):
+        np.testing.assert_allclose(a, b, rtol=5e-5, atol=5e-5)
+
+
 # --- 2-D DP x CP: batch AND time sharded, one flattened InfoNCE ring -------
 
 def _mesh2d(shape=(2, 4)):

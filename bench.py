@@ -193,6 +193,10 @@ if __name__ == "__main__":
         # in RESULTS.md "Model-family throughput") so a tunnel outage at
         # round end doesn't erase real measurements. `value` stays 0.0 —
         # nothing was measured by THIS run.
+        # MAINTENANCE: these constants mirror RESULTS.md's model-family
+        # table — update BOTH (and the date) whenever a newer chip
+        # measurement lands; the "date" field tells consumers how stale
+        # the fallback is.
         print(json.dumps({
             "metric": "cpc_pretrain_throughput", "value": 0.0,
             "unit": "audio-sec/sec/chip", "vs_baseline": 0.0,

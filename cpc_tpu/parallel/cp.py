@@ -176,24 +176,46 @@ def make_cp_train_step(cfg, *, mesh: Mesh, axis: str | None = None,
 
     Returns (step, optimizer); step(params, opt_state, x) -> (params,
     opt_state, metrics) with metrics carrying the ring-global loss /
-    per-k acc / grad_norm. x is the float waveform (B, S_global) — shard
-    it with NamedSharding(mesh, P(dp_axis, axis)) to keep the batch off
-    any single device; params/opt_state stay replicated (CP's memory win
-    is the ACTIVATIONS). Trainability is tested on the 8-virtual-device
-    mesh (tests/test_ring_attention.py) and the driver dryrun jits one
-    full step per round."""
+    per-k acc / grad_norm. x is the waveform batch (B, S_global), int16
+    wire or float — the on-device prep (dequantize + per-snippet
+    normalization per cfg.data.normalize) runs inside the jit, OUTSIDE
+    the shard_map: its reductions span the sharded time axis, and GSPMD
+    inserts the collectives, so normalization matches single-device
+    exactly. Shard x with NamedSharding(mesh, P(dp_axis, axis)) to keep
+    the batch off any single device; params/opt_state stay replicated
+    (CP's memory win is the ACTIVATIONS) and are donated each step.
+    Knobs this wrapper does NOT implement raise here instead of silently
+    doing nothing (cfg.data.augment — per-replica rng threading lives in
+    the standard trainer only — and cfg.train.accum_steps > 1).
+    Trainability is tested on the 8-virtual-device mesh
+    (tests/test_ring_attention.py) and the driver dryrun jits one full
+    step per round."""
+    import functools as _ft
+
     import optax
 
+    from cpc_tpu.data.loader import device_prepare
     from cpc_tpu.train.train_step import make_optimizer
 
+    if cfg.data.augment:
+        raise ValueError(
+            "make_cp_train_step does not implement data.augment (the "
+            "per-replica rng threading lives in the standard trainer); "
+            "set data.augment=False or train via cpc_tpu.train")
+    if cfg.train.accum_steps > 1:
+        raise ValueError(
+            "make_cp_train_step does not implement gradient accumulation; "
+            f"set train.accum_steps=1 (got {cfg.train.accum_steps})")
     mcfg = cfg.model
     axis = axis or mcfg.ar.cp_axis
+    normalize = cfg.data.normalize
     opt = make_optimizer(cfg)
 
-    @jax.jit
+    @_ft.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, x):
+        xf = device_prepare(x, normalize=normalize)
         (_, metrics), grads = jax.value_and_grad(
-            lambda p: cp_cpc_loss_from_audio(mcfg, p, x, mesh=mesh,
+            lambda p: cp_cpc_loss_from_audio(mcfg, p, xf, mesh=mesh,
                                              axis=axis, dp_axis=dp_axis),
             has_aux=True)(params)
         updates, opt_state = opt.update(grads, opt_state, params)

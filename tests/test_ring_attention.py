@@ -547,6 +547,17 @@ def test_dp_cp_train_step_loss_decreases():
     assert np.isfinite(m["grad_norm"])
     assert losses[-1] < losses[0] - 0.3, losses[::8]
 
+    # knobs the wrapper doesn't implement raise instead of silently no-oping
+    import dataclasses
+    with pytest.raises(ValueError, match="augment"):
+        make_cp_train_step(
+            dataclasses.replace(cfg, data=dataclasses.replace(
+                cfg.data, augment=True)), mesh=mesh2, dp_axis="data")
+    with pytest.raises(ValueError, match="accum"):
+        make_cp_train_step(
+            dataclasses.replace(cfg, train=dataclasses.replace(
+                cfg.train, accum_steps=2)), mesh=mesh2, dp_axis="data")
+
 
 def test_cp_training_loss_decreases(mesh):
     """The CP path is trainable, not just correct: ~40 Adam steps through

@@ -212,6 +212,12 @@ class TrainConfig:
     mesh_shape: Tuple[int, ...] = (-1,)  # data-parallel axis spans all devices
     mesh_axes: Tuple[str, ...] = ("data",)
     donate_state: bool = True
+    # 'dp' (batch sharded — the default), 'cp' (context parallel: the
+    # snippet's TIME axis sharded over a 'ctx' mesh; transformer gar +
+    # all_steps negatives required — parallel/cp.py), or 'dpcp' (2-D
+    # data x ctx mesh: batch AND time sharded; set mesh_shape/mesh_axes
+    # to the 2-D mesh explicitly, e.g. (2, 4) / ('data', 'ctx'))
+    parallel: str = "dp"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -227,6 +227,45 @@ def make_cp_train_step(cfg, *, mesh: Mesh, axis: str | None = None,
     return step, opt
 
 
+def make_cp_step_fns(cfg, mesh: Mesh, *, axis: str = "ctx",
+                     dp_axis: str | None = None):
+    """Trainer-compatible StepFns for CP / 2-D DP x CP training
+    (train.parallel='cp'|'dpcp' — the Trainer builds these instead of the
+    DP make_step_fns). train_step is make_cp_train_step's full step
+    (int16-or-float batch in, on-device prep inside the jit); eval_step is
+    the same loss path without gradients. Config knobs this path cannot
+    honor raise HERE, at build time, with the reason — never silently."""
+    from cpc_tpu.train.train_step import StepFns
+
+    _validate_cp_model(cfg.model)  # transformer gar + all_steps, early
+    if cfg.model.ar.dropout > 0:
+        raise ValueError(
+            "context-parallel training has no dropout path (ring/zigzag "
+            "attention does not implement attention dropout, and the CP "
+            "loss runner threads no rng); set model.ar.dropout=0.0")
+    step, opt = make_cp_train_step(cfg, mesh=mesh, axis=axis,
+                                   dp_axis=dp_axis)
+    mcfg = cfg.model
+    normalize = cfg.data.normalize
+
+    @jax.jit
+    def eval_step(params, batch):
+        from cpc_tpu.data.loader import device_prepare
+        xf = device_prepare(batch, normalize=normalize)
+        _, metrics = cp_cpc_loss_from_audio(mcfg, params, xf, mesh=mesh,
+                                            axis=axis, dp_axis=dp_axis)
+        return metrics
+
+    def loss_fn(params, batch):
+        from cpc_tpu.data.loader import device_prepare
+        xf = device_prepare(batch, normalize=normalize)
+        return cp_cpc_loss_from_audio(mcfg, params, xf, mesh=mesh,
+                                      axis=axis, dp_axis=dp_axis)
+
+    return StepFns(train_step=step, eval_step=eval_step, optimizer=opt,
+                   loss_fn=loss_fn)
+
+
 def _validate_cp_model(model_cfg) -> None:
     if model_cfg.ar.kind != "transformer":
         raise ValueError(

@@ -39,14 +39,46 @@ class Trainer:
     ):
         self.cfg = cfg
         self.model = CPCModel(cfg.model)
+        par = cfg.train.parallel
+        if par not in ("dp", "cp", "dpcp"):
+            raise ValueError(f"train.parallel must be 'dp'|'cp'|'dpcp', "
+                             f"got {par!r}")
+        mesh_shape, mesh_axes = cfg.train.mesh_shape, cfg.train.mesh_axes
+        if par == "cp" and mesh_axes == ("data",):
+            # the default axes name DP; 'cp' unambiguously wants all
+            # devices on the context axis
+            mesh_shape, mesh_axes = (-1,), ("ctx",)
         self.mesh = mesh if mesh is not None else make_mesh(
-            cfg.train.mesh_shape, cfg.train.mesh_axes)
-        if cfg.data.batch_size % self.mesh.size != 0:
+            mesh_shape, mesh_axes)
+        if par == "dpcp" and not {"data", "ctx"} <= set(self.mesh.shape):
+            raise ValueError(
+                "train.parallel='dpcp' needs a 2-D mesh with 'data' and "
+                f"'ctx' axes — set train.mesh_shape/mesh_axes (got axes "
+                f"{tuple(self.mesh.shape)})")
+        dp_div = (self.mesh.size if par == "dp"
+                  else self.mesh.shape["data"] if par == "dpcp" else 1)
+        if cfg.data.batch_size % dp_div != 0:
             raise ValueError(
                 f"batch_size {cfg.data.batch_size} is not divisible by the "
-                f"{self.mesh.size}-device mesh; pass a compatible mesh= or "
+                f"{dp_div}-way data axis; pass a compatible mesh= or "
                 f"adjust data.batch_size")
-        self.steps = make_step_fns(cfg, self.model, self.mesh)
+        if par != "dp":
+            if cfg.data.device_corpus:
+                raise ValueError(
+                    "data.device_corpus is not implemented for CP training "
+                    "(the on-device index gather assumes batch sharding); "
+                    "use the host data path")
+            if multihost.active():
+                raise ValueError("train.parallel='cp'/'dpcp' is "
+                                 "single-process only (multi-host CP is "
+                                 "untested); run without multihost")
+            from cpc_tpu.parallel.cp import make_cp_step_fns
+            self.steps = make_cp_step_fns(
+                cfg, self.mesh,
+                dp_axis=("data" if par == "dpcp" else None))
+        else:
+            self.steps = make_step_fns(cfg, self.model, self.mesh)
+        self._par = par
         self.params, self.opt_state = init_state(cfg, self.model,
                                                  self.steps.optimizer)
         # multi-process (multi-host) run: same SPMD step over a mesh that
@@ -119,8 +151,15 @@ class Trainer:
                 json.dump(to_dict(cfg), f, indent=1)
         self.step = 0
         self.preempted = False
-        self._sharding = (batch_sharding(self.mesh)
-                          if self.mesh.size > 1 else None)
+        if par != "dp":
+            # the (B, S) wire batch is sharded along TIME (and batch, for
+            # dpcp) — the CP step's device_prepare/loss run on those shards
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self._sharding = NamedSharding(
+                self.mesh, P("data" if par == "dpcp" else None, "ctx"))
+        else:
+            self._sharding = (batch_sharding(self.mesh)
+                              if self.mesh.size > 1 else None)
 
     def maybe_resume(self) -> bool:
         """Restore latest checkpoint if present; returns True if resumed."""

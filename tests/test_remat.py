@@ -149,11 +149,13 @@ def test_pallas_encoder_remat_raises():
         CPCModel(cfg).init(jax.random.key(0), _x())
 
 
-def test_cp_remat_equals_single_device():
+@pytest.mark.parametrize("impl", ["ring", "zigzag"])
+def test_cp_remat_equals_single_device(impl):
     """encoder.remat + ar.remat inside the context-parallel shard_map path:
-    halo-exchange ppermutes and ring-attention collectives are replayed in
-    the remat recompute; values and parameter grads still equal the plain
-    single-device forward."""
+    halo-exchange ppermutes and ring/zig-zag-attention collectives (incl.
+    zigzag's relayout ppermutes) are replayed in the remat recompute;
+    values and parameter grads still equal the plain single-device
+    forward."""
     from cpc_tpu.parallel.cp import cp_cpc_loss_from_audio
     from cpc_tpu.parallel.mesh import make_mesh
 
@@ -168,7 +170,7 @@ def test_cp_remat_equals_single_device():
     remat = dataclasses.replace(
         base,
         encoder=dataclasses.replace(base.encoder, remat=True),
-        ar=dataclasses.replace(base.ar, remat=True))
+        ar=dataclasses.replace(base.ar, remat=True, attn_impl=impl))
     model = CPCModel(base)
     x = _x(T * 4, seed=7)
     params = model.init(jax.random.key(2), x)

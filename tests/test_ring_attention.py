@@ -305,6 +305,28 @@ def test_zigzag_gradients_match_reference(mesh):
                                    err_msg=f"d{name}")
 
 
+@pytest.mark.parametrize("R", [3, 5])
+def test_zigzag_odd_ring_sizes(R):
+    """The zig-zag chunk/permutation math holds for ODD ring sizes too
+    (2R chunks, parity-based slot assembly) — pinned here on 3- and
+    5-device sub-meshes, fwd + grads."""
+    sub = make_mesh((R,), ("ctx",), devices=jax.devices()[:R])
+    T = R * 2 * 4
+    q, k, v = _qkv(T, seed=41 + R)
+    got = _zigzag_global(q, k, v, sub)
+    want = _ref_causal_mha(q, k, v)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+    w = jnp.asarray(np.random.default_rng(43).standard_normal(q.shape),
+                    jnp.float32)
+    g = jax.grad(lambda a, b, c: jnp.sum(
+        _zigzag_global(a, b, c, sub) * w), argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(lambda a, b, c: jnp.sum(
+        _ref_causal_mha(a, b, c) * w), argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g, g_ref, "qkv"):
+        np.testing.assert_allclose(a, b, rtol=3e-5, atol=3e-5,
+                                   err_msg=f"d{name}")
+
+
 def test_zigzag_on_2d_mesh_and_validation():
     """zigzag under a (data, ctx) mesh (batch also sharded) == oracle; odd
     per-device T raises with the actionable message."""

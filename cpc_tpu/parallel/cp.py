@@ -243,24 +243,34 @@ def make_cp_step_fns(cfg, mesh: Mesh, *, axis: str = "ctx",
             "context-parallel training has no dropout path (ring/zigzag "
             "attention does not implement attention dropout, and the CP "
             "loss runner threads no rng); set model.ar.dropout=0.0")
+    loss = cfg.model.loss
+    # the CP loss is ALWAYS the flattened-ring all_steps sweep — the DP
+    # loss-kernel selectors don't apply. Knobs that would otherwise change
+    # behavior raise rather than silently stop mattering.
+    ignored = [k for k, bad in (
+        ("loss.cross_replica", not loss.cross_replica),  # CP is global
+        ("loss.use_pallas", loss.use_pallas),
+        ("loss.pallas_bf16", loss.pallas_bf16),
+        ("loss.fuse_heads", loss.fuse_heads),
+        ("loss.ring", loss.ring),  # implied; the DP selector is meaningless
+    ) if bad]
+    if ignored:
+        raise ValueError(
+            f"CP training always sweeps the global pool on the (dp, ctx) "
+            f"ring; these settings would be silently ignored: {ignored} — "
+            f"leave them at their defaults")
     step, opt = make_cp_train_step(cfg, mesh=mesh, axis=axis,
                                    dp_axis=dp_axis)
     mcfg = cfg.model
     normalize = cfg.data.normalize
-
-    @jax.jit
-    def eval_step(params, batch):
-        from cpc_tpu.data.loader import device_prepare
-        xf = device_prepare(batch, normalize=normalize)
-        _, metrics = cp_cpc_loss_from_audio(mcfg, params, xf, mesh=mesh,
-                                            axis=axis, dp_axis=dp_axis)
-        return metrics
 
     def loss_fn(params, batch):
         from cpc_tpu.data.loader import device_prepare
         xf = device_prepare(batch, normalize=normalize)
         return cp_cpc_loss_from_audio(mcfg, params, xf, mesh=mesh,
                                       axis=axis, dp_axis=dp_axis)
+
+    eval_step = jax.jit(lambda params, batch: loss_fn(params, batch)[1])
 
     return StepFns(train_step=step, eval_step=eval_step, optimizer=opt,
                    loss_fn=loss_fn)

@@ -301,10 +301,17 @@ def make_multi_step(cfg: CPCConfig, model: CPCModel, n_steps: int,
 
 
 def init_state(cfg: CPCConfig, model: CPCModel, optimizer,
-               rng: Optional[jax.Array] = None) -> Tuple:
-    """(params, opt_state) with the model traced at the configured shapes."""
+               rng: Optional[jax.Array] = None,
+               sample_shape: Optional[Tuple[int, int]] = None) -> Tuple:
+    """(params, opt_state) with the model traced at the configured shapes.
+
+    sample_shape overrides the (batch, samples) init input — parameter
+    shapes are input-size-independent, so CP training inits at a tiny
+    shape instead of materializing the GLOBAL (B, S) forward on one device
+    (exactly the tensor CP exists to never build)."""
     if rng is None:
         rng = jax.random.key(cfg.train.seed)
-    x = jnp.zeros((cfg.data.batch_size, cfg.data.snippet_samples), jnp.float32)
+    shape = sample_shape or (cfg.data.batch_size, cfg.data.snippet_samples)
+    x = jnp.zeros(shape, jnp.float32)
     params = model.init(rng, x)
     return params, optimizer.init(params)

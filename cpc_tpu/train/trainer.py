@@ -45,9 +45,10 @@ class Trainer:
                              f"got {par!r}")
         mesh_shape, mesh_axes = cfg.train.mesh_shape, cfg.train.mesh_axes
         if par == "cp" and mesh_axes == ("data",):
-            # the default axes name DP; 'cp' unambiguously wants all
-            # devices on the context axis
-            mesh_shape, mesh_axes = (-1,), ("ctx",)
+            # the default axes name DP; 'cp' wants the context axis. Only
+            # the NAME is substituted — a user-set mesh_shape (device
+            # subset) is preserved
+            mesh_axes = ("ctx",)
         self.mesh = mesh if mesh is not None else make_mesh(
             mesh_shape, mesh_axes)
         if par == "dpcp" and not {"data", "ctx"} <= set(self.mesh.shape):
@@ -63,6 +64,15 @@ class Trainer:
                 f"{dp_div}-way data axis; pass a compatible mesh= or "
                 f"adjust data.batch_size")
         if par != "dp":
+            ctx = self.mesh.shape["ctx"]
+            if cfg.data.snippet_samples % ctx:
+                # fail here with the reason, not in device_put's generic
+                # uneven-shard error when the first batch is staged
+                raise ValueError(
+                    f"data.snippet_samples {cfg.data.snippet_samples} is "
+                    f"not divisible by the {ctx}-way ctx mesh axis — CP "
+                    f"shards the snippet's time axis; adjust "
+                    f"snippet_samples or the mesh")
             if cfg.data.device_corpus:
                 raise ValueError(
                     "data.device_corpus is not implemented for CP training "
@@ -78,9 +88,28 @@ class Trainer:
                 dp_axis=("data" if par == "dpcp" else None))
         else:
             self.steps = make_step_fns(cfg, self.model, self.mesh)
-        self._par = par
-        self.params, self.opt_state = init_state(cfg, self.model,
-                                                 self.steps.optimizer)
+        if par != "dp":
+            # Init must NOT materialize the global (B, S) forward on one
+            # device — that activation set is exactly what CP shards. Param
+            # shapes are input-size-independent, and the ring-family attn
+            # impls share the plain flax-MHA param tree, so init a tiny
+            # xla-impl clone instead.
+            import dataclasses as _dc
+            icfg = cfg
+            if cfg.model.ar.attn_impl != "xla":
+                icfg = _dc.replace(cfg, model=_dc.replace(
+                    cfg.model, ar=_dc.replace(cfg.model.ar,
+                                              attn_impl="xla")))
+            stride = 1
+            for s in cfg.model.encoder.strides:
+                stride *= s
+            t_init = min(8, cfg.model.ar.max_len)
+            self.params, self.opt_state = init_state(
+                icfg, CPCModel(icfg.model), self.steps.optimizer,
+                sample_shape=(1, t_init * stride))
+        else:
+            self.params, self.opt_state = init_state(cfg, self.model,
+                                                     self.steps.optimizer)
         # multi-process (multi-host) run: same SPMD step over a mesh that
         # spans processes. Host-side differences only — see parallel/
         # multihost.py. Init is deterministic (seeded), so every process

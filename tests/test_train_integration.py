@@ -298,6 +298,17 @@ def test_dpcp_trainer_steps_and_validation(corpus, tmp_path):
                 _cp_cfg().data, device_corpus=True)), ds)
     with pytest.raises(ValueError, match="parallel must be"):
         Trainer(_cp_cfg(parallel="pp"), ds)
+    with pytest.raises(ValueError, match="snippet_samples"):
+        base = _cp_cfg()
+        Trainer(dataclasses.replace(
+            base, data=dataclasses.replace(base.data,
+                                           snippet_samples=4100)), ds)
+    with pytest.raises(ValueError, match="silently ignored"):
+        base = _cp_cfg()
+        Trainer(dataclasses.replace(
+            base, model=dataclasses.replace(
+                base.model, loss=dataclasses.replace(base.model.loss,
+                                                     use_pallas=True))), ds)
     with pytest.raises(ValueError, match="dropout"):
         bad = _cp_cfg()
         Trainer(dataclasses.replace(

@@ -78,10 +78,12 @@ class Trainer:
                     "data.device_corpus is not implemented for CP training "
                     "(the on-device index gather assumes batch sharding); "
                     "use the host data path")
-            if multihost.active():
-                raise ValueError("train.parallel='cp'/'dpcp' is "
-                                 "single-process only (multi-host CP is "
-                                 "untested); run without multihost")
+            if multihost.active() and par == "cp":
+                raise ValueError(
+                    "train.parallel='cp' has no batch axis for processes "
+                    "to contribute rows along; use 'dpcp' with the 'data' "
+                    "axis spanning processes (the ctx ring then stays on "
+                    "each process's fast interconnect)")
             from cpc_tpu.parallel.cp import make_cp_step_fns
             self.steps = make_cp_step_fns(
                 cfg, self.mesh,

@@ -26,6 +26,7 @@ def main() -> None:
     p.add_argument("--ckpt-every", type=int, default=1000)
     p.add_argument("--eval-every", type=int, default=10**9)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--parallel", default="dp", choices=["dp", "dpcp"])
     args = p.parse_args()
 
     if args.nprocs > 1:
@@ -54,6 +55,25 @@ def main() -> None:
                                   log_every=1, eval_every=args.eval_every,
                                   checkpoint_every=args.ckpt_every),
     )
+    if args.parallel == "dpcp":
+        # 2-D data x ctx rehearsal: batch rows contributed per process
+        # along 'data', the InfoNCE/attention rings within each process's
+        # 4 devices along 'ctx'. snippet 3200 / ctx 4 / stride 40 = 20
+        # latents per chunk (integers all the way down the conv pyramid).
+        from cpc_tpu.config import ArConfig
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(
+                cfg.model,
+                ar=ArConfig(kind="transformer", d_ar=16, num_layers=1,
+                            num_heads=2, max_len=128),
+                loss=dataclasses.replace(cfg.model.loss,
+                                         negatives="all_steps")),
+            data=dataclasses.replace(cfg.data, snippet_samples=3200),
+            train=dataclasses.replace(cfg.train, parallel="dpcp",
+                                      mesh_shape=(2, 4),
+                                      mesh_axes=("data", "ctx")),
+        )
     ds = SnippetDataset(args.corpus, cfg.data.snippet_samples)
     val_ds = (SnippetDataset(args.corpus, cfg.data.snippet_samples)
               if args.eval_every < 10**9 else None)

@@ -41,7 +41,7 @@ def _free_port() -> int:
 
 
 def _run(corpus, workdir, *, nprocs, devs_per_proc, steps, ckpt_every=1000,
-         eval_every=None, resume=False):
+         eval_every=None, resume=False, parallel="dp"):
     """Launch `nprocs` driver processes; return pid-0's final JSON line."""
     port = _free_port()
     env = dict(os.environ)
@@ -54,7 +54,8 @@ def _run(corpus, workdir, *, nprocs, devs_per_proc, steps, ckpt_every=1000,
         cmd = [sys.executable, DRIVER, "--pid", str(pid),
                "--nprocs", str(nprocs), "--port", str(port),
                "--workdir", workdir, "--corpus", corpus,
-               "--steps", str(steps), "--ckpt-every", str(ckpt_every)]
+               "--steps", str(steps), "--ckpt-every", str(ckpt_every),
+               "--parallel", parallel]
         if eval_every is not None:
             cmd += ["--eval-every", str(eval_every)]
         if resume:
@@ -124,6 +125,29 @@ def test_two_process_matches_single_process(corpus, tmp_path):
     for step in v1:
         np.testing.assert_allclose(v2[step], v1[step], rtol=1e-5,
                                    err_msg=f"val step {step}")
+
+
+def test_two_process_dpcp_matches_single_process(corpus, tmp_path):
+    """2-D DP x CP across PROCESS boundaries: the 'data' axis spans two
+    processes (each contributing its batch rows), the 'ctx' axis stays on
+    each process's 4 local devices (the InfoNCE/attention rings never
+    cross a process for their per-step hops... except the flattened
+    InfoNCE ring, which does — and must still match). Loss trajectory ==
+    the single-process (2, 4) run."""
+    wd1 = str(tmp_path / "single")
+    wd2 = str(tmp_path / "multi")
+    done1 = _run(corpus, wd1, nprocs=1, devs_per_proc=8, steps=6,
+                 parallel="dpcp")
+    done2 = _run(corpus, wd2, nprocs=2, devs_per_proc=4, steps=6,
+                 parallel="dpcp")
+    assert done1["done"] == 6
+    assert done2["done"] == 6 and done2["procs"] == 2
+
+    l1, l2 = _losses(wd1), _losses(wd2)
+    assert set(l1) == set(l2) and len(l1) == 6
+    for step in sorted(l1):
+        np.testing.assert_allclose(l2[step], l1[step], rtol=1e-5,
+                                   err_msg=f"step {step}")
 
 
 def test_two_process_checkpoint_resume(corpus, tmp_path):

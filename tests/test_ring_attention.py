@@ -3,6 +3,7 @@ single-device oracles on the 8-virtual-device CPU mesh (SURVEY.md §5.3
 distributed-without-cluster strategy; ops/attention_ring.py).
 """
 
+import dataclasses
 import functools
 
 import jax
@@ -461,10 +462,12 @@ def test_dp_ctx_ring_infonce_all_invalid_shards():
         np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5, err_msg=name)
 
 
-def test_dp_cp_loss_from_audio_equals_single_device():
+@pytest.mark.parametrize("impl", ["ring", "zigzag"])
+def test_dp_cp_loss_from_audio_equals_single_device(impl):
     """Raw waveform in, loss out, on the 2-D (data, ctx) mesh: halo-exchange
-    encoder + ring attention per data row + the flattened-ring InfoNCE ==
-    the single-device loss on the GLOBAL batch, values AND param grads."""
+    encoder + ring/zig-zag attention per data row + the flattened-ring
+    InfoNCE == the single-device loss on the GLOBAL batch, values AND
+    param grads — the two features compose."""
     from cpc_tpu.config import EncoderConfig, LossConfig, ModelConfig
     from cpc_tpu.models.cpc import CPCModel
     from cpc_tpu.ops.infonce import infonce_loss_and_metrics
@@ -476,9 +479,10 @@ def test_dp_cp_loss_from_audio_equals_single_device():
         encoder=EncoderConfig(channels=(8, 16), kernels=(4, 4),
                               strides=(2, 2), d_enc=16),
         ar=ArConfig(kind="transformer", d_ar=16, num_layers=1, num_heads=2,
-                    max_len=T),
+                    max_len=T, attn_impl=impl),
         loss=LossConfig(prediction_steps=3, negatives="all_steps"))
-    model = CPCModel(mcfg)
+    model = CPCModel(dataclasses.replace(
+        mcfg, ar=dataclasses.replace(mcfg.ar, attn_impl="xla")))
     x = jnp.asarray(np.random.default_rng(13).standard_normal((4, T * 4)),
                     jnp.float32)
     params = model.init(jax.random.PRNGKey(4), x)

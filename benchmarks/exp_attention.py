@@ -86,7 +86,17 @@ def main() -> None:
                          "that failure point IS the capability claim")
     args = ap.parse_args()
 
-    parity(128, jnp.float32, 1e-4)
+    # fp32 tolerance is bf16-sized BY MEASUREMENT: this platform's default
+    # fp32 matmul precision is bf16-level (a plain 256^3 fp32 jnp.dot
+    # measures 2.3e-3 max rel err vs fp64, and Mosaic's dot agrees with
+    # XLA's BITWISE on that matmul; Precision.HIGHEST restores 1.4e-7 but
+    # neither the flax MHA path nor the kernel requests it). Two impls
+    # with different reduction ORDERS therefore differ by bf16 rounding
+    # noise, ~3e-3 on a 2-layer transformer output (measured 2026-08-19,
+    # fresh bench VM — the old VM's toolchain gave <1e-4 here). The
+    # logic-level parity gate is the interpret-mode suite
+    # (tests/test_pallas_attention.py), which is exact to fp32.
+    parity(128, jnp.float32, 8e-3)
     parity(args.seq, jnp.bfloat16, 3e-2)
     parity(args.seq, jnp.bfloat16, 5e-2, impl="flash16")
 

@@ -80,9 +80,7 @@ def _bench_config(cfg, iters=400, warmup=5):
 
 
 def main() -> None:
-    import dataclasses
-
-    from cpc_tpu.config import ArConfig, EncoderConfig, presets
+    from cpc_tpu.config import presets
 
     cfg = presets.tpu_fast()
     (value, step_ms, final_loss, steps, params, opt_state, sharding,
@@ -90,21 +88,13 @@ def main() -> None:
     host_value = _host_in_the_loop(cfg, steps, params, opt_state,
                                    audio_sec_per_batch, n_chips, sharding)
 
-    # the other two model families at the same perf configuration
-    sc_cfg = dataclasses.replace(
-        cfg, name="scalogram_fast",
-        model=dataclasses.replace(
-            cfg.model,
-            encoder=EncoderConfig(kind="scalogram", scalogram_scale="log"),
-            ar=dataclasses.replace(cfg.model.ar, use_pallas=False)))
-    sc_value, sc_ms, _, *_ = _bench_config(sc_cfg, iters=300)
-    tr_cfg = dataclasses.replace(
-        cfg, name="transformer_fast",
-        model=dataclasses.replace(
-            cfg.model,
-            ar=ArConfig(kind="transformer", d_ar=256, num_layers=2,
-                        num_heads=8)))
-    tr_value, tr_ms, _, *_ = _bench_config(tr_cfg, iters=300)
+    # the other two model families at the same perf configuration (the
+    # presets are shared with tests/test_golden_tpu.py so the bf16 golden
+    # pin gates exactly the configs this artifact reports)
+    sc_value, sc_ms, _, *_ = _bench_config(presets.scalogram_fast(),
+                                           iters=300)
+    tr_value, tr_ms, _, *_ = _bench_config(presets.transformer_fast(),
+                                           iters=300)
 
     print(json.dumps({
         "metric": "cpc_pretrain_throughput",

@@ -21,7 +21,8 @@ import numpy as np
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
-def parity(T: int, dtype, tol: float, impl: str = "flash") -> None:
+def parity(T: int, dtype, tol: float, impl: str = "flash",
+           highest: bool = False) -> None:
     from cpc_tpu.config import ArConfig
     from cpc_tpu.models.transformer import CausalTransformer
     common = dict(kind="transformer", d_ar=256, num_layers=2, num_heads=8,
@@ -31,16 +32,22 @@ def parity(T: int, dtype, tol: float, impl: str = "flash") -> None:
                             dtype=dtype)
     z = jnp.asarray(np.random.default_rng(0).standard_normal((2, T, 512)),
                     jnp.float32)
-    params = m_x.init(jax.random.PRNGKey(0), z)
-    a = np.asarray(jax.jit(m_x.apply)(params, z), np.float32)
-    b = np.asarray(jax.jit(m_f.apply)(params, z), np.float32)
+    import contextlib
+    prec = (jax.default_matmul_precision("highest") if highest
+            else contextlib.nullcontext())
+    with prec:
+        params = m_x.init(jax.random.PRNGKey(0), z)
+        a = np.asarray(jax.jit(m_x.apply)(params, z), np.float32)
+        b = np.asarray(jax.jit(m_f.apply)(params, z), np.float32)
     err = float(np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-9))
     ok = bool(err < tol)
-    print(json.dumps({"check": f"{impl}_parity_compiled", "T": T,
+    name = f"{impl}_parity_compiled" + ("_highest" if highest else "")
+    print(json.dumps({"check": name, "T": T,
                       "dtype": str(dtype.__name__), "rel_err": round(err, 6),
                       "ok": ok}), flush=True)
     if not ok:
-        raise SystemExit(f"{impl} parity FAILED at T={T} {dtype}: {err}")
+        raise SystemExit(f"{impl} parity FAILED at T={T} {dtype}"
+                         f"{' (highest)' if highest else ''}: {err}")
 
 
 def sweep_point(B: int, T: int, H: int = 8, d_model: int = 256) -> dict:
@@ -97,6 +104,13 @@ def main() -> None:
     # logic-level parity gate is the interpret-mode suite
     # (tests/test_pallas_attention.py), which is exact to fp32.
     parity(128, jnp.float32, 8e-3)
+    # The TIGHT gate survives independently of the platform's default-
+    # precision drift (ADVICE r3): under default_matmul_precision('highest')
+    # both the flax MHA path and the kernel's precision-unannotated
+    # dot_generals run full-fp32 accumulation, so reduction-order noise
+    # collapses back to ~1e-7-level and sub-bf16-magnitude kernel
+    # regressions are visible again at the original 1e-4 tolerance.
+    parity(128, jnp.float32, 1e-4, highest=True)
     parity(args.seq, jnp.bfloat16, 3e-2)
     parity(args.seq, jnp.bfloat16, 5e-2, impl="flash16")
 

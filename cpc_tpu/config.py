@@ -401,6 +401,34 @@ class presets:
         )
 
     @staticmethod
+    def scalogram_fast() -> CPCConfig:
+        """Scalogram family at the bench perf configuration (bf16, batch 64,
+        fused loss): the config whose measured throughput clears the 10k
+        north star on this chip (BENCH_r03 `scalogram_value`). Shared by
+        bench.py and the bf16 on-TPU golden pin so the regression gate
+        covers exactly what the BENCH artifact reports."""
+        base = presets.tpu_fast()
+        return dataclasses.replace(
+            base, name="scalogram_fast",
+            model=dataclasses.replace(
+                base.model,
+                encoder=EncoderConfig(kind="scalogram",
+                                      scalogram_scale="log"),
+                ar=dataclasses.replace(base.model.ar, use_pallas=False)))
+
+    @staticmethod
+    def transformer_fast() -> CPCConfig:
+        """Transformer family at the bench perf configuration (bf16, batch
+        64, fused loss); see scalogram_fast."""
+        base = presets.tpu_fast()
+        return dataclasses.replace(
+            base, name="transformer_fast",
+            model=dataclasses.replace(
+                base.model,
+                ar=ArConfig(kind="transformer", d_ar=256, num_layers=2,
+                            num_heads=8)))
+
+    @staticmethod
     def by_name(name: str) -> CPCConfig:
         fn = getattr(presets, name, None)
         if fn is None or name.startswith("_") or name == "by_name":

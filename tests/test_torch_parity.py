@@ -1,0 +1,96 @@
+"""TRAINING parity against a real PyTorch oracle (BASELINE.json:5's
+"k-step accuracy within 1%" clause; VERDICT r3 next #1).
+
+tests/test_interop.py pins FORWARD parity; this file pins the training
+dynamics: an interop-initialized reference-architecture torch CPC model
+(tests/torch_oracle.py) and the production cpc_tpu train step consume the
+IDENTICAL deterministic batch stream, each side trains with its own
+framework's Adam, and the loss + per-k InfoNCE accuracy trajectories must
+agree — in lockstep early (before fp32 reduction-order noise compounds)
+and statistically over the trailing window (the acceptance criterion).
+
+This test runs a reduced architecture in seconds as the per-commit guard;
+the full baseline-config acceptance run (batch 8, fp32, 20480-sample
+snippets, hundreds of steps) is benchmarks/exp_torch_parity.py, whose
+measured table lives in RESULTS.md.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+
+from cpc_tpu.config import (ArConfig, CPCConfig, DataConfig, EncoderConfig,  # noqa: E402
+                            LossConfig, ModelConfig, TrainConfig)
+from cpc_tpu.models.cpc import CPCModel  # noqa: E402
+
+from tests.torch_oracle import (TorchCPC, compare_trajectories,  # noqa: E402
+                                load_cpc_params_into_torch, train_jax,
+                                train_torch)
+
+
+def _cfg(negatives="same_step", norm="none"):
+    return CPCConfig(
+        model=ModelConfig(
+            encoder=EncoderConfig(channels=(8, 12), kernels=(10, 8),
+                                  strides=(5, 4), d_enc=12,
+                                  padding="VALID", norm=norm),
+            ar=ArConfig(d_ar=10),
+            loss=LossConfig(prediction_steps=3, negatives=negatives),
+        ),
+        data=DataConfig(batch_size=8, snippet_samples=2000),
+        train=TrainConfig(learning_rate=2e-4),
+    )
+
+
+def _batches(cfg, n, seed=0):
+    """Deterministic int16 batch stream with audio-like structure (tone
+    mixtures + noise) so InfoNCE accuracy actually moves off chance."""
+    rng = np.random.default_rng(seed)
+    B, S = cfg.data.batch_size, cfg.data.snippet_samples
+    t = np.arange(S) / 16000.0
+    out = []
+    for _ in range(n):
+        f0 = rng.uniform(80, 300, size=(B, 1))
+        wave = (np.sin(2 * np.pi * f0 * t)
+                + 0.5 * np.sin(2 * np.pi * 2 * f0 * t)
+                + 0.1 * rng.standard_normal((B, S)))
+        out.append(np.clip(wave * 8000, -32768, 32767).astype(np.int16))
+    return out
+
+
+def _run(negatives, n_steps=60):
+    cfg = _cfg(negatives=negatives)
+    model = CPCModel(cfg.model)
+    variables = model.init(jax.random.key(7),
+                           np.zeros((1, cfg.data.snippet_samples),
+                                    np.float32))
+    tm = TorchCPC(cfg)
+    load_cpc_params_into_torch(variables, cfg, tm)
+    torch.manual_seed(0)
+    torch.set_num_threads(1)
+    batches = _batches(cfg, n_steps)
+    jr = train_jax(cfg, variables, batches)
+    tr = train_torch(cfg, tm, batches)
+    return compare_trajectories(jr, tr)
+
+
+def test_training_parity_same_step():
+    rep = _run("same_step")
+    # identical init + identical batches: the first steps are numerically
+    # in lockstep (fp32 reduction-order noise only)
+    assert rep["loss_rel_diff_first10"] < 1e-3, rep
+    # the acceptance criterion, at test scale: trailing-window per-k
+    # accuracy within 1 absolute percentage point
+    assert rep["acc_abs_diff_max_pct"] < 1.0, rep
+    assert rep["loss_rel_diff_window"] < 0.01, rep
+
+
+def test_training_parity_all_steps():
+    rep = _run("all_steps")
+    assert rep["loss_rel_diff_first10"] < 1e-3, rep
+    assert rep["acc_abs_diff_max_pct"] < 1.0, rep

@@ -1,0 +1,40 @@
+#!/bin/bash
+# Log-staleness watchdog for long chip runs (docs/DESIGN.md "environment
+# quirks"): the axon relay can die mid-run, leaving the client blocked
+# forever on a futex with zero CPU and a silent log. The child must be
+# resumable (Trainer checkpoint + maybe_resume — probe_study.py and
+# cpc_tpu.train both are); this wrapper restarts it whenever its log stops
+# moving or it exits nonzero, up to MAX_RESTARTS.
+#
+# Usage: watchdog.sh LOGFILE STALE_SECS MAX_RESTARTS -- cmd args...
+# The ~20 min default threshold clears Mosaic compile and probe-battery
+# gaps (both log nothing while working but finish well under that).
+set -u
+LOG="$1"; STALE="$2"; MAX="$3"; shift 3
+[ "$1" = "--" ] && shift
+restarts=0
+while :; do
+  setsid "$@" >> "$LOG" 2>&1 < /dev/null &
+  pid=$!
+  echo "[watchdog] started pid=$pid restarts=$restarts" >> "$LOG.wd"
+  while kill -0 "$pid" 2>/dev/null; do
+    sleep 60
+    now=$(date +%s); mt=$(stat -c %Y "$LOG" 2>/dev/null || echo "$now")
+    if [ $((now - mt)) -gt "$STALE" ]; then
+      echo "[watchdog] log stale $((now - mt))s — killing pg $pid" >> "$LOG.wd"
+      kill -TERM -- -"$pid" 2>/dev/null; sleep 30
+      kill -KILL -- -"$pid" 2>/dev/null
+      break
+    fi
+  done
+  wait "$pid"; rc=$?
+  if [ "$rc" -eq 0 ]; then
+    echo "[watchdog] child exited clean" >> "$LOG.wd"; exit 0
+  fi
+  restarts=$((restarts + 1))
+  if [ "$restarts" -gt "$MAX" ]; then
+    echo "[watchdog] restart budget exhausted (rc=$rc)" >> "$LOG.wd"; exit 1
+  fi
+  echo "[watchdog] child rc=$rc — restarting ($restarts/$MAX)" >> "$LOG.wd"
+  sleep 20
+done

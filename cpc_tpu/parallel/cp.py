@@ -184,9 +184,16 @@ def make_cp_train_step(cfg, *, mesh: Mesh, axis: str | None = None,
     exactly. Shard x with NamedSharding(mesh, P(dp_axis, axis)) to keep
     the batch off any single device; params/opt_state stay replicated
     (CP's memory win is the ACTIVATIONS) and are donated each step.
-    Knobs this wrapper does NOT implement raise here instead of silently
-    doing nothing (cfg.data.augment — per-replica rng threading lives in
-    the standard trainer only — and cfg.train.accum_steps > 1).
+    With cfg.data.augment the step takes a 4th `rng` arg (the Trainer's
+    per-step key) and runs ops/dsp.augment_waveform on the GLOBAL batch
+    inside the jit but OUTSIDE the shard_map — the same placement
+    device_prepare's cross-shard normalization already uses. Every
+    augmentation op is a global-shape op (per-sample gain/polarity,
+    counter-based partitionable PRNG noise, circular time shift), so GSPMD
+    inserts the collectives (the shift crosses ctx-shard boundaries) and
+    the augmented waveform is EXACTLY the single-device one for the same
+    key — equality-tested in tests/test_ring_attention.py. Knobs this
+    wrapper does NOT implement still raise (cfg.train.accum_steps > 1).
     Trainability is tested on the 8-virtual-device mesh
     (tests/test_ring_attention.py) and the driver dryrun jits one full
     step per round."""
@@ -197,11 +204,6 @@ def make_cp_train_step(cfg, *, mesh: Mesh, axis: str | None = None,
     from cpc_tpu.data.loader import device_prepare
     from cpc_tpu.train.train_step import make_optimizer
 
-    if cfg.data.augment:
-        raise ValueError(
-            "make_cp_train_step does not implement data.augment (the "
-            "per-replica rng threading lives in the standard trainer); "
-            "set data.augment=False or train via cpc_tpu.train")
     if cfg.train.accum_steps > 1:
         raise ValueError(
             "make_cp_train_step does not implement gradient accumulation; "
@@ -209,11 +211,24 @@ def make_cp_train_step(cfg, *, mesh: Mesh, axis: str | None = None,
     mcfg = cfg.model
     axis = axis or mcfg.ar.cp_axis
     normalize = cfg.data.normalize
+    dcfg = cfg.data
     opt = make_optimizer(cfg)
 
-    @_ft.partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, x):
+    def _prepare(x, rng):
         xf = device_prepare(x, normalize=normalize)
+        if rng is not None:
+            from cpc_tpu.ops.dsp import augment_waveform
+            # same key discipline as the standard loss_fn (train_step.py):
+            # split off k_aug so a future dropout key stays compatible
+            k_aug, _ = jax.random.split(rng)
+            xf = augment_waveform(xf, k_aug,
+                                  gain_db=dcfg.augment_gain_db,
+                                  noise_snr_db=dcfg.augment_noise_snr_db,
+                                  shift_max=dcfg.augment_shift_max)
+        return xf
+
+    def _step(params, opt_state, x, rng=None):
+        xf = _prepare(x, rng)
         (_, metrics), grads = jax.value_and_grad(
             lambda p: cp_cpc_loss_from_audio(mcfg, p, xf, mesh=mesh,
                                              axis=axis, dp_axis=dp_axis),
@@ -224,6 +239,10 @@ def make_cp_train_step(cfg, *, mesh: Mesh, axis: str | None = None,
         metrics["grad_norm"] = optax.global_norm(grads)
         return params, opt_state, metrics
 
+    if dcfg.augment:
+        step = jax.jit(_step, donate_argnums=(0, 1))
+    else:
+        step = jax.jit(_ft.partial(_step, rng=None), donate_argnums=(0, 1))
     return step, opt
 
 

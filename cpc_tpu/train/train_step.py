@@ -217,10 +217,29 @@ def make_step_fns(cfg: CPCConfig, model: CPCModel, mesh=None) -> StepFns:
         # (measured: the axon tunnel leaks its full payload per transfer;
         # docs/DESIGN.md "host transfer leak").
         if mesh is not None and mesh.size > 1:
-            raise ValueError(
-                "data.device_corpus supports single-device training only "
-                "(multi-host pods feed per-host shards through the host "
-                "path); drop the flag or pass a 1-device mesh")
+            # device_corpus x DP (VERDICT r3 next #6): the corpus is
+            # replicated over the mesh (the Trainer uploads it with
+            # replicated(mesh) — it is int16 and small at study scale; HBM
+            # budget is checked at load), the (B,) index vector arrives
+            # sharded over the data axis, and the gather runs inside the
+            # jit — GSPMD makes it replica-local (each device gathers its
+            # own rows from its own corpus copy), so the batch rows land
+            # sharded exactly like idx and feed the SAME shard_map step as
+            # the host path. Host-path equality: tests/test_dp.py.
+            axis = mesh.axis_names[0]
+            inner = dp_train_step(train_step, mesh, axis=axis,
+                                  with_rng=want_rng, donate=False)
+            ev_inner = dp_eval_step(eval_step, mesh, axis=axis)
+
+            def train_dc(params, opt_state, corpus, idx, *maybe_rng):
+                return inner(params, opt_state, corpus[idx], *maybe_rng)
+
+            return StepFns(
+                train_step=jax.jit(train_dc, donate_argnums=(0, 1)),
+                eval_step=jax.jit(
+                    lambda params, corpus, idx: ev_inner(params,
+                                                         corpus[idx])),
+                optimizer=opt, loss_fn=loss_fn)
 
         def train_idx(params, opt_state, corpus, idx, rng=None):
             return train_step(params, opt_state, corpus[idx], rng=rng,

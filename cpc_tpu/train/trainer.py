@@ -130,7 +130,9 @@ class Trainer:
         # yields (B,) index vectors in the SAME (seed, epoch, pos) order —
         # resume state and batch contents are identical to the host path
         dc = cfg.data.device_corpus
-        self._corpus = load_device_corpus(train_dataset) if dc else None
+        # under DP the corpus is replicated over the mesh (every replica
+        # gathers its own batch rows locally — see make_step_fns)
+        self._corpus = self._load_corpus(train_dataset) if dc else None
         self.batcher = Batcher(
             train_dataset, cfg.data.batch_size, shuffle=cfg.data.shuffle,
             seed=cfg.train.seed, prefetch=cfg.data.prefetch,
@@ -154,7 +156,7 @@ class Trainer:
                     and val_dataset.snippet_stride
                         == train_dataset.snippet_stride)
                 self._val_corpus = (self._corpus if same
-                                    else load_device_corpus(val_dataset))
+                                    else self._load_corpus(val_dataset))
             self.val_batcher = Batcher(
                 val_dataset, cfg.data.batch_size, shuffle=False,
                 seed=0, transfer_dtype=cfg.data.transfer_dtype,
@@ -213,6 +215,17 @@ class Trainer:
             self.opt_state = jax.device_put(self.opt_state, rep)
         self.batcher.restore(batcher_state)
         return True
+
+    def _load_corpus(self, dataset):
+        corpus = load_device_corpus(dataset)
+        if self._mh:
+            # every process decodes the same snippets (deterministic
+            # dataset order), so lifting to a replicated global array is
+            # value-correct
+            return multihost.replicate(corpus, self.mesh)
+        if self.mesh.size > 1:
+            corpus = jax.device_put(corpus, replicated(self.mesh))
+        return corpus
 
     def _stage(self, host_batch):
         """Host batch -> device array under the trainer's sharding (each

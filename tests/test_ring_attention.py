@@ -575,14 +575,70 @@ def test_dp_cp_train_step_loss_decreases():
 
     # knobs the wrapper doesn't implement raise instead of silently no-oping
     import dataclasses
-    with pytest.raises(ValueError, match="augment"):
-        make_cp_train_step(
-            dataclasses.replace(cfg, data=dataclasses.replace(
-                cfg.data, augment=True)), mesh=mesh2, dp_axis="data")
     with pytest.raises(ValueError, match="accum"):
         make_cp_train_step(
             dataclasses.replace(cfg, train=dataclasses.replace(
                 cfg.train, accum_steps=2)), mesh=mesh2, dp_axis="data")
+
+
+def test_dp_cp_train_step_augment_equals_single_device():
+    """data.augment under CP (VERDICT r3 next #5): the global-array
+    augmentation (applied inside the jit, OUTSIDE the shard_map) must give
+    EXACTLY the single-device augmented loss for the same per-step key —
+    gain/polarity/noise are per-sample, and the circular time shift crosses
+    ctx-shard boundaries through GSPMD's inserted collectives."""
+    from cpc_tpu.config import (CPCConfig, DataConfig, EncoderConfig,
+                                LossConfig, ModelConfig, TrainConfig)
+    from cpc_tpu.data.loader import device_prepare
+    from cpc_tpu.models.cpc import CPCModel
+    from cpc_tpu.ops.dsp import augment_waveform
+    from cpc_tpu.ops.infonce import infonce_loss_and_metrics
+    from cpc_tpu.parallel.cp import make_cp_train_step
+
+    mesh2 = _mesh2d((2, 4))
+    T = 4 * 4
+    cfg = CPCConfig(
+        name="dpcp_aug_test",
+        model=ModelConfig(
+            encoder=EncoderConfig(channels=(8, 16), kernels=(4, 4),
+                                  strides=(2, 2), d_enc=16),
+            ar=ArConfig(kind="transformer", d_ar=16, num_layers=1,
+                        num_heads=2, max_len=T),
+            loss=LossConfig(prediction_steps=2, negatives="all_steps")),
+        data=DataConfig(batch_size=4, snippet_samples=T * 4, augment=True),
+        train=TrainConfig(learning_rate=3e-3))
+    model = CPCModel(cfg.model)
+    x = jnp.asarray(np.random.default_rng(23).standard_normal((4, T * 4)),
+                    jnp.float32)
+    params = model.init(jax.random.PRNGKey(11), x)
+    step, opt = make_cp_train_step(cfg, mesh=mesh2, axis="ctx",
+                                   dp_axis="data")
+    rng = jax.random.key(77)
+
+    def run(key):  # fresh arg trees per call: params/opt_state are donated
+        p = jax.tree.map(jnp.array, params)
+        return step(p, opt.init(p), x, key)[2]
+
+    m = run(rng)
+
+    # single-device oracle: same prepare -> same key discipline -> the
+    # plain (xla-attention) forward + jnp all_steps InfoNCE
+    k_aug, _ = jax.random.split(rng)
+    xa = augment_waveform(device_prepare(x, normalize=cfg.data.normalize),
+                          k_aug,
+                          gain_db=cfg.data.augment_gain_db,
+                          noise_snr_db=cfg.data.augment_noise_snr_db,
+                          shift_max=cfg.data.augment_shift_max)
+    out = model.apply(params, xa)
+    want, want_m = infonce_loss_and_metrics(out.preds, out.z,
+                                            negatives="all_steps")
+    np.testing.assert_allclose(float(m["loss"]), float(want),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(m["acc"]),
+                               np.asarray(want_m["acc"]), atol=1e-6)
+    # distinct keys change the loss (the rng is actually live)
+    m2 = run(jax.random.key(78))
+    assert abs(float(m2["loss"]) - float(m["loss"])) > 1e-6
 
 
 def test_cp_training_loss_decreases(mesh):

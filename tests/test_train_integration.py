@@ -200,10 +200,13 @@ def test_device_corpus_matches_host_path(corpus):
             np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7),
         tr_h.params, tr_d.params)
 
-    # multi-device mesh must refuse loudly (per-host shards belong to the
-    # host path), and the HBM budget guard must trip before a huge upload
-    with pytest.raises(ValueError, match="single-device"):
-        Trainer(dcfg, SnippetDataset(corpus, cfg.data.snippet_samples))
+    # multi-device mesh replicates the corpus and gathers replica-locally
+    # (step equality vs the host path: tests/test_dp.py); the Trainer must
+    # BUILD on the default 8-device mesh, and the HBM budget guard must
+    # trip before a huge upload
+    tr_m = Trainer(dcfg, SnippetDataset(corpus, cfg.data.snippet_samples))
+    assert tr_m.mesh.size > 1 and tr_m._corpus is not None
+    tr_m.close()
     ds = SnippetDataset(corpus, cfg.data.snippet_samples)
     with pytest.raises(ValueError, match="budget"):
         load_device_corpus(ds, budget_bytes=1000)

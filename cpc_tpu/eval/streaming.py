@@ -36,11 +36,14 @@ Contracts and deviations (explicit):
     carried across calls).
   * One stream per extractor (B = 1).
   * gar state: GRU carries its (num_layers, 1, H) hidden state; the
-    transformer carries a KV cache (flax decode-mode attention) and each
-    pushed latent runs CausalTransformer.extend() — exact equality with
-    the offline forward, memory O(max_len). A transformer stream is
-    bounded by ar.max_len latents, exactly like the offline forward
-    (push() raises at the same point the offline call would).
+    transformer carries an explicit KV-cache pytree (per-layer K/V buffers
+    + PER-STREAM positions — models/transformer.py decode_carry) and each
+    pushed latent runs CausalTransformer.decode_step under lax.scan —
+    exact equality with the offline forward, memory O(max_len). A
+    transformer stream is bounded by ar.max_len latents, exactly like the
+    offline forward (push() raises at the same point the offline call
+    would), and individual streams recycle via reset_stream() because
+    each batch row owns its position.
 
 jit note: the jitted input is the sliced VALID window (rf + (n-1)*down
 samples), not the raw buffer, so a fixed chunk size settles into at most
@@ -138,34 +141,27 @@ class StreamingExtractor:
         self._stats = stats
         self._is_tr = cfg.ar.kind == "transformer"
         if self._is_tr:
-            from cpc_tpu.models.transformer import CausalTransformer
-            # decode=True twin of the gar: same parameter tree, incremental
-            # KV-cache extend() path. The cache collection is created by an
-            # init at FULL max_len length (flax sizes cached_key/value to
-            # the init call's sequence), then each new latent attends over
-            # it via extend().
-            self._tr = CausalTransformer(ar, dtype=jnp.float32,
-                                         param_dtype=jnp.float32,
-                                         decode=True)
-            d_enc = cfg.encoder.d_enc
-            tr_vars = self._tr.init(
-                jax.random.key(0),
-                jnp.zeros((n_streams, ar.max_len, d_enc), jnp.float32))
-            self._cache0 = tr_vars["cache"]
+            from cpc_tpu.models.transformer import (CausalTransformer,
+                                                    carry_decode_model,
+                                                    decode_carry)
+            # decode twin of the gar: same parameter tree, incremental
+            # KV-cache decode_step path with the cache as an explicit
+            # fixed-shape carry (per-stream positions — what makes
+            # reset_stream and the StableHLO export possible)
+            self._tr = carry_decode_model(ar)
+            self._fresh_carry = lambda: decode_carry(ar, n_streams)
             self.max_latents = ar.max_len
 
-            def tr_extend(gar_params, cache, z_tokens):
-                # scan extend() over the chunk's latents (time-major
-                # (n, B, D)); the KV cache (and flax's per-layer
-                # cache_index) is the carry, batch rows = streams
-                def step(cache, z_t):
-                    c_t, upd = self._tr.apply(
-                        {"params": gar_params, "cache": cache},
-                        z_t[:, None, :], method=CausalTransformer.extend,
-                        mutable=["cache"])
-                    return upd["cache"], c_t[:, 0]
+            def tr_extend(gar_params, carry, z_tokens):
+                # scan decode_step over the chunk's latents (time-major
+                # (n, B, D)); carry rows = streams
+                def step(carry, z_t):
+                    c_t, carry = self._tr.apply(
+                        {"params": gar_params}, z_t, carry,
+                        method=CausalTransformer.decode_step)
+                    return carry, c_t
 
-                return jax.lax.scan(step, cache, z_tokens)
+                return jax.lax.scan(step, carry, z_tokens)
 
             self._tr_extend = jax.jit(tr_extend)
         self._fwd = jax.jit(self._forward)
@@ -176,29 +172,30 @@ class StreamingExtractor:
         self._resid = np.zeros((self.n_streams, 0), np.float32)
         self._h = None  # GRU: (num_layers, n_streams, H) after first push
         if self._is_tr:
-            self._cache = jax.tree.map(jnp.copy, self._cache0)
-            self._n_seen = 0
+            self._carry = self._fresh_carry()
+            self._n_seen = np.zeros((self.n_streams,), np.int64)
 
     def reset_stream(self, i: int) -> None:
         """Recycle batch row `i` for a NEW stream without disturbing the
         others (serving churn: a caller's stream ends, another joins the
-        lockstep batch). The row's GRU state zeroes (the fresh-stream h0)
-        and its residual samples zero in place — the shared residual
-        length is structural to the lockstep design, so the new stream
-        behaves exactly as if preceded by that many zero samples: its
-        post-reset outputs equal a fresh extractor fed
-        `zeros(len(residual))` + the subsequent chunks (tested).
-
-        GRU-only: the transformer's flax decode cache has one shared
-        per-layer position index, so a single row cannot restart at
-        position 0 — reset() the whole extractor instead."""
+        lockstep batch). The row's gar state restarts — GRU: its hidden
+        row zeroes (the fresh-stream h0); transformer: its carry position
+        returns to 0, which both restarts the positional embedding and
+        masks every stale KV entry beyond it (decode_carry's per-stream
+        position vector is what makes this possible; the old flax decode
+        cache shared ONE index across rows) — and its residual samples
+        zero in place. The shared residual length is structural to the
+        lockstep design, so the new stream behaves exactly as if preceded
+        by that many zero samples: its post-reset outputs equal a fresh
+        extractor fed `zeros(len(residual))` + the subsequent chunks
+        (tested for both gar kinds)."""
         if not 0 <= i < self.n_streams:
             raise ValueError(f"stream index {i} out of range "
                              f"[0, {self.n_streams})")
         if self._is_tr:
-            raise NotImplementedError(
-                "per-stream reset needs a per-stream position index; the "
-                "transformer KV cache shares one — use reset()")
+            self._carry = dict(self._carry,
+                               pos=self._carry["pos"].at[i].set(0))
+            self._n_seen[i] = 0
         self._resid[i] = 0.0
         if self._h is not None:
             self._h = self._h.at[:, i, :].set(0.0)
@@ -241,14 +238,16 @@ class StreamingExtractor:
         window = buf[:, :self.rf + (n - 1) * self.down]
         z = self._fwd(self._params, jnp.asarray(window))
         if self._is_tr:
-            if self._n_seen + n > self.max_latents:
+            if (self._n_seen + n > self.max_latents).any():
+                worst = int(self._n_seen.max()) + n
                 raise ValueError(
                     f"stream exceeds the transformer's positional table: "
-                    f"{self._n_seen + n} latents > max_len "
+                    f"{worst} latents > max_len "
                     f"{self.max_latents} (the offline forward rejects the "
-                    f"same length); reset() or raise ar.max_len")
-            self._cache, c_tm = self._tr_extend(
-                self._params["params"]["gar"], self._cache,
+                    f"same length); reset()/reset_stream() or raise "
+                    f"ar.max_len")
+            self._carry, c_tm = self._tr_extend(
+                self._params["params"]["gar"], self._carry,
                 z.transpose(1, 0, 2))  # (n, B, D) tokens
             c = jnp.transpose(c_tm, (1, 0, 2))
             self._n_seen += n

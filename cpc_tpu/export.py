@@ -18,11 +18,14 @@ Two artifact shapes, matching the two consumer APIs:
     (dequant + per-snippet normalization) is folded inside, so callers
     send raw fixed-length waveform windows.
   * `export_streaming_step` — the real-time path: the fixed-shape step of
-    cpc_tpu.eval.streaming.StreamingExtractor, f(h, window) ->
-    (z, c, h'). The host keeps the O(receptive_field) residual-sample
-    buffer (pure numpy, no jax) and threads `h`; every step is one fixed
-    compiled shape. GRU gar only — the transformer's KV cache is a
-    per-position mutable buffer, not a constant-size carry.
+    cpc_tpu.eval.streaming.StreamingExtractor, f(state..., window) ->
+    (z, c, state...'). The host keeps the O(receptive_field)
+    residual-sample buffer (pure numpy, no jax) and threads the state;
+    every step is one fixed compiled shape. GRU state is the hidden
+    tensor h; transformer state is the explicit KV-cache carry (stacked
+    per-layer K/V buffers + per-stream positions —
+    models/transformer.py decode_carry), scanned one latent at a time
+    via decode_step.
 
 Pallas kernels are routed OFF in exported computations: Mosaic lowering
 is TPU-only and pins the artifact to one backend generation, while the
@@ -114,28 +117,36 @@ def export_streaming_step(
     stats: Optional[Tuple[float, float]] = None,
     platforms: Sequence[str] = ("cpu", "tpu"),
 ) -> jax_export.Exported:
-    """Exported streaming step: f(h (num_layers, n_streams, d_ar),
-    window (n_streams, W)) -> (z (n_streams, n, d_enc),
-    c (n_streams, n, d_ar), h') with n = chunk_latents and
-    W = receptive_field + (chunk_latents - 1) * downsample.
+    """Exported streaming step with the gar state as an explicit carry:
+
+      GRU:         f(h (num_layers, n_streams, d_ar), window) ->
+                   (z, c, h')
+      transformer: f(k, v (num_layers, n_streams, max_len, H, Dh),
+                   pos (n_streams,) int32, window) -> (z, c, k', v', pos')
+
+    with z (n_streams, n, d_enc), c (n_streams, n, d_ar),
+    n = chunk_latents, and W = receptive_field +
+    (chunk_latents - 1) * downsample.
 
     Contract identical to StreamingExtractor (VALID padding, fp32 compute,
-    exact GRU state carry — see cpc_tpu/eval/streaming.py for why those
-    are forced): the serving host slices fixed W-sample windows that
-    overlap by receptive_field - downsample samples (stride = chunk_latents
-    * downsample) and threads h, starting from zeros. Concatenated outputs
-    equal the offline VALID forward elementwise (tested).
+    exact state carry — see cpc_tpu/eval/streaming.py for why those are
+    forced): the serving host slices fixed W-sample windows that overlap
+    by receptive_field - downsample samples (stride = chunk_latents *
+    downsample) and threads the state, starting from zeros. Concatenated
+    outputs equal the offline VALID forward elementwise (tested). The
+    transformer host must ALSO bound each stream by max_len latents and
+    may recycle row b by zeroing pos[b] (per-stream positions — the
+    decode_step contract, models/transformer.py).
     """
     cfg = model.config
     if chunk_latents < 1:
         raise ValueError(f"chunk_latents must be >= 1, got {chunk_latents}")
     if n_streams < 1:
         raise ValueError(f"n_streams must be >= 1, got {n_streams}")
-    if cfg.ar.kind != "gru":
+    if cfg.ar.kind not in ("gru", "transformer"):
         raise ValueError(
-            "the streaming-step artifact requires the GRU gar (the "
-            "transformer's KV cache is not a constant-size carry); export "
-            "the windowed extractor instead")
+            f"the streaming-step artifact supports the gru and transformer "
+            f"gar kinds, got {cfg.ar.kind!r}")
     # the exact clone the live StreamingExtractor runs (shared definition
     # — validates conv1d encoder + streamable norm)
     from cpc_tpu.eval.streaming import portable_stream_model
@@ -153,9 +164,40 @@ def export_streaming_step(
         stats = (m0, s0)
     fixed = stats
 
+    def norm(win):
+        return win if fixed is None else (win - fixed[0]) / fixed[1]
+
+    if cfg.ar.kind == "transformer":
+        from cpc_tpu.models.transformer import (CausalTransformer,
+                                                carry_decode_model)
+        ar = m.config.ar
+        tr = carry_decode_model(ar)
+        gar_params = params["params"]["gar"]
+
+        def fn(k, v, pos, win):
+            z = m.apply(params, norm(win), method=CPCModel.encode)
+
+            def step(carry, z_t):
+                c_t, carry = tr.apply({"params": gar_params}, z_t, carry,
+                                      method=CausalTransformer.decode_step)
+                return carry, c_t
+
+            carry, c_tm = jax.lax.scan(step, {"k": k, "v": v, "pos": pos},
+                                       z.transpose(1, 0, 2))
+            return (z, jnp.transpose(c_tm, (1, 0, 2)),
+                    carry["k"], carry["v"], carry["pos"])
+
+        dh = ar.d_ar // ar.num_heads
+        kv = jax.ShapeDtypeStruct(
+            (ar.num_layers, n_streams, ar.max_len, ar.num_heads, dh),
+            jnp.float32)
+        specs = (kv, kv, jax.ShapeDtypeStruct((n_streams,), jnp.int32),
+                 jax.ShapeDtypeStruct((n_streams, window), jnp.float32))
+        return jax_export.export(jax.jit(fn),
+                                 platforms=tuple(platforms))(*specs)
+
     def fn(h, win):
-        x = win if fixed is None else (win - fixed[0]) / fixed[1]
-        z = m.apply(params, x, method=CPCModel.encode)
+        z = m.apply(params, norm(win), method=CPCModel.encode)
         c, h2 = m.apply(params, z, h, method=CPCModel.context_with_state)
         return z, c, h2
 

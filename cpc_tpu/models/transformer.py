@@ -7,11 +7,19 @@ SURVEY.md §6.7), so plain O(T^2) attention is MXU-friendly and nowhere near
 memory limits; the causal mask is applied as an additive -inf bias inside a
 single fused softmax.
 
-Streaming (SURVEY.md §4.5): with `decode=True` the same parameter tree runs
-an incremental KV-cache path — `extend()` consumes ONE new latent, attends
-over the cached keys/values of everything already seen (flax's MHA decode
-cache), and emits that position's context exactly as the offline forward
-would. cpc_tpu.eval.streaming scans extend() over each pushed chunk.
+Streaming (SURVEY.md §4.5): `decode_step()` is the incremental KV-cache
+path — it consumes ONE new latent per stream, attends over the cached
+keys/values of everything already seen, and emits that position's context
+exactly as the offline forward would. The cache is an EXPLICIT fixed-shape
+carry (`decode_carry()`: stacked per-layer K/V buffers + a PER-STREAM
+position vector), not a flax variable collection: that makes the step a
+pure jittable (carry, z_t) -> (c_t, carry') function — exportable as a
+StableHLO artifact (cpc_tpu.export.export_streaming_step) — and gives each
+batch row its own position, so one serving stream can reset/restart
+without disturbing the others (StreamingExtractor.reset_stream). The
+earlier flax decode-cache formulation (mutable 'cache' collection, one
+shared scalar index) could do neither. cpc_tpu.eval.streaming scans
+decode_step over each pushed chunk.
 
 Module layout note: submodules are declared in setup() with the names flax's
 nn.compact auto-numbering used to generate (LayerNorm_0,
@@ -89,6 +97,37 @@ class FlashSelfAttention(nn.Module):
         v = self.value(inputs_kv)
         return self.out(flash_causal_mha(q, k, v, p_dtype=self.p_dtype))
 
+    def decode(self, h, k_cache, v_cache, pos):
+        """One KV-cache attention step with per-row positions (pure jnp —
+        no Pallas, no flax cache variables; the streaming/export path).
+
+        h (B, 1, d) is this step's (already-LayerNormed) token per stream;
+        k_cache/v_cache (B, S, H, Dh) hold each stream's keys/values;
+        pos (B,) int32 is where row b's NEW key/value lands — attention
+        then covers indices <= pos[b], so stale entries beyond a reset
+        row's position are never read. Mirrors flax MHA numerics exactly
+        (q/sqrt(Dh) scaling, finfo-min mask bias, same-dtype softmax).
+        Returns (out (B, 1, d), k_cache', v_cache')."""
+        q = self.query(h)            # (B, 1, H, Dh)
+        k_new = self.key(h)[:, 0]    # (B, H, Dh)
+        v_new = self.value(h)[:, 0]
+
+        def put(cache, new, p):
+            return jax.lax.dynamic_update_slice_in_dim(cache, new[None],
+                                                       p, axis=0)
+
+        k_cache = jax.vmap(put)(k_cache, k_new, pos)
+        v_cache = jax.vmap(put)(v_cache, v_new, pos)
+        dh = q.shape[-1]
+        scores = jnp.einsum("bqhd,bshd->bhqs",
+                            q / jnp.sqrt(dh).astype(q.dtype), k_cache)
+        valid = jnp.arange(k_cache.shape[1])[None, :] <= pos[:, None]
+        scores = jnp.where(valid[:, None, None, :], scores,
+                           jnp.finfo(scores.dtype).min)
+        w = jax.nn.softmax(scores, axis=-1)
+        o = jnp.einsum("bhqs,bshd->bqhd", w, v_cache)
+        return self.out(o), k_cache, v_cache
+
 
 class RingSelfAttention(FlashSelfAttention):
     """Context-parallel causal self-attention (ops/attention_ring.py).
@@ -123,7 +162,6 @@ class _Block(nn.Module):
     dropout: float
     dtype: Any
     param_dtype: Any
-    decode: bool = False
     attn_impl: str = "xla"
     cp_axis: str = "ctx"
 
@@ -131,7 +169,7 @@ class _Block(nn.Module):
         self.ln_attn = nn.LayerNorm(dtype=self.dtype,
                                     param_dtype=self.param_dtype,
                                     name="LayerNorm_0")
-        if self.attn_impl in ("ring", "zigzag") and not self.decode:
+        if self.attn_impl in ("ring", "zigzag"):
             self.attn = RingSelfAttention(
                 num_heads=self.num_heads,
                 d_model=self.d_model,
@@ -141,7 +179,7 @@ class _Block(nn.Module):
                 zigzag=self.attn_impl == "zigzag",
                 name="MultiHeadDotProductAttention_0",
             )
-        elif self.attn_impl in ("flash", "flash16") and not self.decode:
+        elif self.attn_impl in ("flash", "flash16"):
             self.attn = FlashSelfAttention(
                 num_heads=self.num_heads,
                 d_model=self.d_model,
@@ -157,7 +195,6 @@ class _Block(nn.Module):
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 dropout_rate=self.dropout,
-                decode=self.decode,
                 name="MultiHeadDotProductAttention_0",
             )
         self.drop = nn.Dropout(self.dropout)
@@ -180,6 +217,22 @@ class _Block(nn.Module):
         h = self.drop(h, deterministic=deterministic)
         return x + h
 
+    def decode_step(self, x, k_cache, v_cache, pos):
+        """Incremental twin of __call__ for one token per stream: requires
+        the explicit-projection attention modules (attn_impl != 'xla' —
+        see carry_decode_model). Returns (x', k_cache', v_cache')."""
+        if not isinstance(self.attn, FlashSelfAttention):
+            raise ValueError(
+                "decode_step needs explicit q/k/v projections; this block "
+                "was built with attn_impl='xla' (flax MHA) — wrap the "
+                "config via carry_decode_model(), which shares the exact "
+                "parameter tree")
+        a, k_cache, v_cache = self.attn.decode(self.ln_attn(x),
+                                               k_cache, v_cache, pos)
+        x = x + a
+        x = x + self.fc2(nn.gelu(self.fc1(self.ln_mlp(x))))
+        return x, k_cache, v_cache
+
 
 class CausalTransformer(nn.Module):
     """z (B, T, D) -> c (B, T, d_ar); strictly causal (c_t sees z_<=t)."""
@@ -187,7 +240,6 @@ class CausalTransformer(nn.Module):
     config: ArConfig
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
-    decode: bool = False  # KV-cache incremental mode (streaming consumer)
 
     def setup(self):
         cfg = self.config
@@ -201,11 +253,6 @@ class CausalTransformer(nn.Module):
                 f"ar.attn_impl={cfg.attn_impl!r} does not implement "
                 "attention-weight dropout (flax's MHA semantics); use "
                 "attn_impl='xla' with dropout, or dropout=0.0 with flash")
-        if cfg.attn_impl in ("ring", "zigzag") and self.decode:
-            raise ValueError(
-                f"ar.attn_impl={cfg.attn_impl!r} has no KV-cache decode "
-                "twin — stream via attn_impl='xla' (eval.streaming pins it "
-                "anyway)")
         self.in_proj = nn.Dense(cfg.d_ar, dtype=self.dtype,
                                 param_dtype=self.param_dtype, name="in_proj")
         self.pos_embed = self.param(
@@ -220,7 +267,6 @@ class CausalTransformer(nn.Module):
                 dropout=cfg.dropout,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
-                decode=self.decode,
                 attn_impl=cfg.attn_impl,
                 cp_axis=cfg.cp_axis,
                 name=f"block{i}",
@@ -230,11 +276,6 @@ class CausalTransformer(nn.Module):
         self.final_norm = nn.LayerNorm(dtype=self.dtype,
                                        param_dtype=self.param_dtype,
                                        name="final_norm")
-        if self.decode:
-            # position counter for extend(); variables must be created in
-            # setup for setup-style modules
-            self._pos = self.variable("cache", "pos_index",
-                                      lambda: jnp.zeros((), jnp.int32))
 
     def __call__(self, z: jnp.ndarray,
                  deterministic: bool = True) -> jnp.ndarray:
@@ -277,31 +318,56 @@ class CausalTransformer(nn.Module):
             x = blk_fn(blk, x, mask, deterministic)
         return self.final_norm(x)
 
-    def extend(self, z_t: jnp.ndarray) -> jnp.ndarray:
-        """One incremental step: z_t (B, 1, D) -> c_t (B, 1, d_ar), attending
-        over the KV cache of all previously extended positions. Requires a
-        decode=True module whose 'cache' collection was created by an init
-        at full max_len length (see eval.streaming); apply with
-        mutable=['cache']. Exactly equals column t of the offline forward.
+    def decode_step(self, z_t: jnp.ndarray, carry: dict):
+        """One incremental step with the KV cache as an EXPLICIT carry:
+        z_t (B, D_enc) -> (c_t (B, d_ar), carry'). carry is decode_carry()'s
+        pytree — stacked per-layer K/V buffers plus a PER-STREAM position
+        vector — so the step is a pure jittable function (StableHLO-
+        exportable, lax.scan-able over a chunk of latents) and each batch
+        row advances/restarts independently. c_t exactly equals column
+        pos[b] of the offline forward over that stream's tokens so far.
 
-        CONTRACT: the caller must bound extend() calls by cfg.max_len —
-        the position index is a traced cache variable, so past the table
-        the slice/update indices CLAMP (the last positional row is reused
-        and the final KV slot overwritten) rather than raise; this is
-        silent corruption, not an error. eval.streaming enforces the bound
-        (StreamingExtractor raises 'stream exceeds the transformer's
-        positional table'); direct users must do the same."""
-        if not self.decode:
-            raise ValueError("extend() requires decode=True (KV cache)")
-        pos = self._pos
-        i = pos.value
-        x = self.in_proj(z_t.astype(self.dtype))
-        p = jax.lax.dynamic_slice_in_dim(self.pos_embed, i, 1, axis=0)
-        x = x + p.astype(self.dtype)[None]
-        for blk in self.blocks:
-            # flax's decode-mode MHA inserts this step's K/V at its own
-            # cache_index and masks attention to positions <= it
-            x = blk(x, mask=None, deterministic=True)
-        if not self.is_initializing():
-            pos.value = i + 1
-        return self.final_norm(x)
+        CONTRACT: the caller must bound each row's positions by
+        cfg.max_len — past the table the per-row slice/update indices
+        CLAMP (the last positional row is reused, the final KV slot
+        overwritten) rather than raise; this is silent corruption, not an
+        error. eval.streaming enforces the bound (StreamingExtractor
+        raises 'stream exceeds the transformer's positional table');
+        direct users must do the same."""
+        k_all, v_all, pos = carry["k"], carry["v"], carry["pos"]
+        x = self.in_proj(z_t.astype(self.dtype))[:, None, :]   # (B, 1, d)
+        p = jnp.take(self.pos_embed, pos, axis=0)              # (B, d)
+        x = x + p.astype(self.dtype)[:, None, :]
+        ks, vs = [], []
+        for i, blk in enumerate(self.blocks):
+            x, k_i, v_i = blk.decode_step(x, k_all[i], v_all[i], pos)
+            ks.append(k_i)
+            vs.append(v_i)
+        c_t = self.final_norm(x)[:, 0]
+        return c_t, {"k": jnp.stack(ks), "v": jnp.stack(vs),
+                     "pos": pos + 1}
+
+
+def decode_carry(cfg: ArConfig, n_streams: int) -> dict:
+    """Fresh cache-as-carry for decode_step: per-layer K/V buffers stacked
+    as (num_layers, n_streams, max_len, num_heads, head_dim) fp32 zeros
+    plus per-stream positions (n_streams,) int32 zeros. Resetting stream b
+    is `carry['pos'].at[b].set(0)` — its stale K/V entries are masked off
+    by the position bound, never read."""
+    dh = cfg.d_ar // cfg.num_heads
+    shape = (cfg.num_layers, n_streams, cfg.max_len, cfg.num_heads, dh)
+    return {"k": jnp.zeros(shape, jnp.float32),
+            "v": jnp.zeros(shape, jnp.float32),
+            "pos": jnp.zeros((n_streams,), jnp.int32)}
+
+
+def carry_decode_model(cfg: ArConfig) -> "CausalTransformer":
+    """The fp32 decode twin: SAME parameter tree as every attn_impl (the
+    explicit q/k/v/out DenseGenerals mirror flax MHA's), built on the
+    explicit-projection attention modules decode_step needs. The flash
+    __call__ kernel is never traced on the decode path — decode_step is
+    pure jnp — so exports stay Mosaic-free and portable."""
+    import dataclasses as _dc
+    ar = _dc.replace(cfg, attn_impl="flash", dropout=0.0)
+    return CausalTransformer(ar, dtype=jnp.float32,
+                             param_dtype=jnp.float32)

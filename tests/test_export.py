@@ -151,10 +151,51 @@ def test_scalogram_variant_exports():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_streaming_step_transformer_artifact_equals_offline(tmp_path):
+    """Transformer streaming export (VERDICT r3 next #7): the artifact
+    carries the KV cache explicitly — f(k, v, pos, window) ->
+    (z, c, k', v', pos') — and threading it from zeros over host-sliced
+    windows reproduces the offline VALID forward, exactly like the GRU
+    artifact above."""
+    model, params, cfg = _model(ar_kind="transformer")
+    n = 4
+    exp = export_streaming_step(model, params, chunk_latents=n)
+    path = str(tmp_path / "tr_step.shlo")
+    save_artifact(path, exp)
+    art = load_artifact(path)
+
+    ar = cfg.ar
+    rf, down = receptive_field(cfg.encoder.kernels, cfg.encoder.strides)
+    W = rf + (n - 1) * down
+    wave = np.random.default_rng(7).standard_normal(W + 3 * n * down) \
+        .astype(np.float32) * 0.3
+    dh = ar.d_ar // ar.num_heads
+    k = np.zeros((ar.num_layers, 1, ar.max_len, ar.num_heads, dh),
+                 np.float32)
+    v = np.zeros_like(k)
+    pos = np.zeros((1,), np.int32)
+    zs, cs = [], []
+    for j in range(4):
+        win = wave[None, j * n * down: j * n * down + W]
+        z, c, k, v, pos = art.call(jnp.asarray(k), jnp.asarray(v),
+                                   jnp.asarray(pos), jnp.asarray(win))
+        zs.append(np.asarray(z[0]))
+        cs.append(np.asarray(c[0]))
+    assert int(pos[0]) == 4 * n
+
+    enc = dataclasses.replace(cfg.encoder, padding="VALID")
+    vmodel = CPCModel(dataclasses.replace(cfg, encoder=enc,
+                                          dtype="float32"))
+    consumed = wave[: W + 3 * n * down]
+    z_off = vmodel.apply(params, consumed[None], method=CPCModel.encode)
+    c_off = vmodel.apply(params, z_off, method=lambda m, z: m.gar(z))
+    np.testing.assert_allclose(np.concatenate(zs), np.asarray(z_off[0]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.concatenate(cs), np.asarray(c_off[0]),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_streaming_step_rejects_unsupported():
-    model, params, _ = _model(ar_kind="transformer")
-    with pytest.raises(ValueError, match="GRU"):
-        export_streaming_step(model, params, chunk_latents=2)
     model, params, _ = _model(norm="group")
     with pytest.raises(ValueError, match="time axis"):
         export_streaming_step(model, params, chunk_latents=2)

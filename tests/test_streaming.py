@@ -278,7 +278,52 @@ def test_reset_stream_recycles_one_row():
     with pytest.raises(ValueError, match="out of range"):
         ex.reset_stream(3)
 
-    tr_model, tr_params, _ = _model(ar_kind="transformer")
-    tr = StreamingExtractor(tr_model, tr_params, n_streams=2)
-    with pytest.raises(NotImplementedError, match="per-stream"):
-        tr.reset_stream(0)
+
+def test_reset_stream_transformer_recycles_one_row():
+    """Transformer per-stream reset (VERDICT r3 next #7): the carry's
+    per-stream position vector lets ONE batch row restart at position 0
+    while the other row's KV trajectory continues untouched — the exact
+    semantics the GRU test above pins, now for the transformer gar."""
+    model, params, cfg = _model(ar_kind="transformer")
+    rng = np.random.default_rng(13)
+    waves = rng.standard_normal((2, 4000)).astype(np.float32) * 0.3
+    new_wave = rng.standard_normal(2100).astype(np.float32) * 0.3
+
+    ref = StreamingExtractor(model, params, n_streams=2)
+    ref_out = [ref.push(waves[:, a:b])
+               for a, b in zip([0, 900, 1900, 2800], [900, 1900, 2800,
+                                                      4000])]
+
+    ex = StreamingExtractor(model, params, n_streams=2)
+    for a, b in zip([0, 900], [900, 1900]):
+        ex.push(waves[:, a:b])
+    resid_len = ex._resid.shape[1]
+    ex.reset_stream(1)
+    post, stream1_feed = [], []
+    for a, b in zip([1900, 2800], [2800, 4000]):
+        chunk = waves[:, a:b].copy()
+        chunk[1] = new_wave[a - 1900:b - 1900]   # row 1 is a NEW stream
+        stream1_feed.append(chunk[1])
+        post.append(ex.push(chunk))
+
+    # row 0: identical to the never-reset run
+    for k, (z, c) in enumerate(post):
+        z_ref, c_ref = ref_out[2 + k]
+        np.testing.assert_array_equal(z[0], z_ref[0])
+        np.testing.assert_array_equal(c[0], c_ref[0])
+
+    # row 1: equals a fresh extractor fed zeros(resid_len) + the new feed
+    fresh = StreamingExtractor(model, params, n_streams=1)
+    fz, fc = [], []
+    first = np.concatenate([np.zeros(resid_len, np.float32),
+                            stream1_feed[0]])
+    for chunk in [first] + stream1_feed[1:]:
+        z, c = fresh.push(chunk)
+        fz.append(z)
+        fc.append(c)
+    np.testing.assert_allclose(
+        np.concatenate([p[0][1] for p in post], axis=0),
+        np.concatenate(fz, axis=0), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        np.concatenate([p[1][1] for p in post], axis=0),
+        np.concatenate(fc, axis=0), rtol=1e-6, atol=1e-6)

@@ -192,8 +192,12 @@ def make_cp_train_step(cfg, *, mesh: Mesh, axis: str | None = None,
     counter-based partitionable PRNG noise, circular time shift), so GSPMD
     inserts the collectives (the shift crosses ctx-shard boundaries) and
     the augmented waveform is EXACTLY the single-device one for the same
-    key — equality-tested in tests/test_ring_attention.py. Knobs this
-    wrapper does NOT implement still raise (cfg.train.accum_steps > 1).
+    key — equality-tested in tests/test_ring_attention.py. With
+    cfg.data.device_corpus the step takes (params, opt_state, corpus,
+    idx[, rng]) — replicated HBM corpus, data-axis-sharded indices,
+    replica-local gather (tests/test_train_integration.py pins trained-
+    params equality vs the host path). Knobs this wrapper does NOT
+    implement still raise (cfg.train.accum_steps > 1).
     Trainability is tested on the 8-virtual-device mesh
     (tests/test_ring_attention.py) and the driver dryrun jits one full
     step per round."""
@@ -228,6 +232,14 @@ def make_cp_train_step(cfg, *, mesh: Mesh, axis: str | None = None,
         return xf
 
     def _step(params, opt_state, x, rng=None):
+        if dcfg.device_corpus:
+            # x is (corpus, idx): replicated HBM corpus + data-axis-sharded
+            # index vector. The gather is replica-local; GSPMD slices the
+            # gathered rows' TIME axis onto the ctx shards (no comm — the
+            # corpus copy is whole on every device). Same wire as the DP
+            # path (train_step.py), equality-tested on the CPU mesh.
+            corpus, idx = x
+            x = corpus[idx]
         xf = _prepare(x, rng)
         (_, metrics), grads = jax.value_and_grad(
             lambda p: cp_cpc_loss_from_audio(mcfg, p, xf, mesh=mesh,
@@ -239,7 +251,16 @@ def make_cp_train_step(cfg, *, mesh: Mesh, axis: str | None = None,
         metrics["grad_norm"] = optax.global_norm(grads)
         return params, opt_state, metrics
 
-    if dcfg.augment:
+    if dcfg.device_corpus:
+        # Trainer wire: (params, opt_state, corpus, idx[, rng]) — the
+        # same arg order as the DP device-corpus step
+        if dcfg.augment:
+            step = jax.jit(lambda p, o, c, i, r: _step(p, o, (c, i), r),
+                           donate_argnums=(0, 1))
+        else:
+            step = jax.jit(lambda p, o, c, i: _step(p, o, (c, i)),
+                           donate_argnums=(0, 1))
+    elif dcfg.augment:
         step = jax.jit(_step, donate_argnums=(0, 1))
     else:
         step = jax.jit(_ft.partial(_step, rng=None), donate_argnums=(0, 1))
@@ -289,7 +310,11 @@ def make_cp_step_fns(cfg, mesh: Mesh, *, axis: str = "ctx",
         return cp_cpc_loss_from_audio(mcfg, params, xf, mesh=mesh,
                                       axis=axis, dp_axis=dp_axis)
 
-    eval_step = jax.jit(lambda params, batch: loss_fn(params, batch)[1])
+    if cfg.data.device_corpus:
+        eval_step = jax.jit(
+            lambda params, corpus, idx: loss_fn(params, corpus[idx])[1])
+    else:
+        eval_step = jax.jit(lambda params, batch: loss_fn(params, batch)[1])
 
     return StepFns(train_step=step, eval_step=eval_step, optimizer=opt,
                    loss_fn=loss_fn)

@@ -73,11 +73,6 @@ class Trainer:
                     f"not divisible by the {ctx}-way ctx mesh axis — CP "
                     f"shards the snippet's time axis; adjust "
                     f"snippet_samples or the mesh")
-            if cfg.data.device_corpus:
-                raise ValueError(
-                    "data.device_corpus is not implemented for CP training "
-                    "(the on-device index gather assumes batch sharding); "
-                    "use the host data path")
             if multihost.active() and par == "cp":
                 raise ValueError(
                     "train.parallel='cp' has no batch axis for processes "
@@ -230,9 +225,21 @@ class Trainer:
     def _stage(self, host_batch):
         """Host batch -> device array under the trainer's sharding (each
         process contributes its own rows under multi-process)."""
+        sh = self._sharding
+        if self._corpus is not None and np.ndim(host_batch) == 1:
+            # device_corpus wire: host_batch is the (B,) index vector.
+            # Under CP the batch sharding is 2-D (time on 'ctx'); the
+            # indices shard over the data axis only — the on-device gather
+            # produces the time axis, which GSPMD then slices onto 'ctx'
+            # (replicated corpus: a local slice, no communication).
+            par = self.cfg.train.parallel
+            if par in ("cp", "dpcp"):
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                sh = NamedSharding(self.mesh,
+                                   P("data" if par == "dpcp" else None))
         if self._mh:
-            return multihost.shard_batch(host_batch, self._sharding)
-        return to_device(host_batch, self._sharding)
+            return multihost.shard_batch(host_batch, sh)
+        return to_device(host_batch, sh)
 
     def _ckpt_state(self):
         """(params, opt_state) as the checkpoint payload: host-local numpy

@@ -282,6 +282,31 @@ def test_cp_trainer_trains_and_resumes_bitwise(corpus, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_cp_device_corpus_matches_host_path(corpus, tmp_path):
+    """device_corpus under CP/dpcp: the replicated HBM corpus + data-axis
+    index gather must produce the SAME trained parameters as staging the
+    (B, S) batches through the host path — the Batcher yields identical
+    (seed, epoch, pos) index order in both modes, and the on-device
+    gather's time axis lands on the ctx shards without communication."""
+    cfg = _cp_cfg(parallel="dpcp", mesh_shape=(2, 4),
+                  mesh_axes=("data", "ctx"))
+    dcfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, device_corpus=True))
+    ds = SnippetDataset(corpus, cfg.data.snippet_samples)
+
+    tr_h = Trainer(cfg, ds, workdir=str(tmp_path / "h"))
+    tr_h.train(6)
+    tr_h.close()
+    tr_d = Trainer(dcfg, ds, workdir=str(tmp_path / "d"))
+    assert tr_d._corpus is not None
+    tr_d.train(6)
+    tr_d.close()
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7),
+        tr_h.params, tr_d.params)
+
+
 def test_dpcp_trainer_steps_and_validation(corpus, tmp_path):
     """train.parallel='dpcp' on an explicit (2, 4) data x ctx mesh trains;
     the config knobs CP cannot honor raise at build with the reason."""
@@ -295,10 +320,6 @@ def test_dpcp_trainer_steps_and_validation(corpus, tmp_path):
 
     with pytest.raises(ValueError, match="'data' and 'ctx'"):
         Trainer(_cp_cfg(parallel="dpcp"), ds)  # default 1-D axes
-    with pytest.raises(ValueError, match="device_corpus"):
-        Trainer(dataclasses.replace(
-            _cp_cfg(), data=dataclasses.replace(
-                _cp_cfg().data, device_corpus=True)), ds)
     with pytest.raises(ValueError, match="parallel must be"):
         Trainer(_cp_cfg(parallel="pp"), ds)
     with pytest.raises(ValueError, match="snippet_samples"):

@@ -77,11 +77,15 @@ def _to_f32(raw: bytes, in_format: str, carry: bytes) -> tuple:
 class _ArtifactStream:
     """Fixed-window streaming over an exported streaming-step artifact.
 
-    The artifact computes f(h, window (1, W)) -> (z, c, h'); this class
-    owns the rolling sample buffer and the GRU carry. Window geometry
-    (W, hop, n latents per call) is derived from the artifact input shapes
-    and the encoder kernels/strides in the sidecar config — the same
-    arithmetic as eval/streaming.py::receptive_field.
+    GRU artifacts compute f(h, window (1, W)) -> (z, c, h'); transformer
+    artifacts carry their KV cache explicitly, f(k, v, pos, window) ->
+    (z, c, k', v', pos') (models/transformer.py decode_step). The
+    signature is detected from the artifact input shapes; this class owns
+    the rolling sample buffer and threads whichever state the artifact
+    declares. Window geometry (W, hop, n latents per call) is derived
+    from the artifact input shapes and the encoder kernels/strides in the
+    sidecar config — the same arithmetic as
+    eval/streaming.py::receptive_field.
     """
 
     def __init__(self, path: str):
@@ -90,12 +94,18 @@ class _ArtifactStream:
 
         self._art = load_artifact(path)
         avals = self._art.in_avals
-        if len(avals) != 2 or len(avals[0].shape) != 3:
+        if len(avals) == 2 and len(avals[0].shape) == 3:
+            self._is_tr = False          # f(h, window)
+        elif len(avals) == 4 and len(avals[0].shape) == 5:
+            self._is_tr = True           # f(k, v, pos, window)
+            self.max_latents = int(avals[0].shape[2])
+            self._seen = 0
+        else:
             raise SystemExit(
                 f"{path} is not a streaming-step artifact (inputs "
                 f"{[str(a) for a in avals]}); export one with "
                 "--export-model PATH --export-streaming N_LATENTS")
-        n_streams, self.window = avals[1].shape
+        n_streams, self.window = avals[-1].shape
         if n_streams != 1:
             raise SystemExit(
                 f"the serve CLI feeds ONE stdin stream; this artifact was "
@@ -118,19 +128,43 @@ class _ArtifactStream:
         self.hop = self.n_latents * self.down
         self.d_enc = int(enc["d_enc"])
         self.d_ar = int(cfg["model"]["ar"]["d_ar"])
-        self._h = np.zeros(tuple(avals[0].shape), np.float32)
+        if self._is_tr:
+            self._k = np.zeros(tuple(avals[0].shape), np.float32)
+            self._v = np.zeros(tuple(avals[1].shape), np.float32)
+            self._pos = np.zeros(tuple(avals[2].shape), np.int32)
+        else:
+            self._h = np.zeros(tuple(avals[0].shape), np.float32)
         self._buf = np.zeros(0, np.float32)
+
+    def _step(self, win):
+        import jax.numpy as jnp
+
+        if self._is_tr:
+            if self._seen + self.n_latents > self.max_latents:
+                # past the positional table the artifact's indices CLAMP
+                # (silent corruption) — stop loudly instead. The live
+                # --workdir path raises at the identical point.
+                raise SystemExit(
+                    f"stream exceeds the transformer artifact's positional "
+                    f"table ({self.max_latents} latents); restart the "
+                    f"server per stream or re-export with a larger "
+                    f"ar.max_len")
+            z, c, self._k, self._v, self._pos = self._art.call(
+                jnp.asarray(self._k), jnp.asarray(self._v),
+                jnp.asarray(self._pos), jnp.asarray(win))
+            self._seen += self.n_latents
+        else:
+            z, c, h = self._art.call(jnp.asarray(self._h), jnp.asarray(win))
+            self._h = np.asarray(h, np.float32)
+        return z, c
 
     def push(self, x: np.ndarray):
         """Returns (z (n, d_enc), c (n, d_ar)) for every COMPLETE window."""
-        import jax.numpy as jnp
-
         self._buf = np.concatenate([self._buf, x])
         zs, cs = [], []
         while self._buf.shape[0] >= self.window:
             win = self._buf[: self.window][None]
-            z, c, h = self._art.call(jnp.asarray(self._h), jnp.asarray(win))
-            self._h = np.asarray(h, np.float32)
+            z, c = self._step(win)
             zs.append(np.asarray(z, np.float32)[0])
             cs.append(np.asarray(c, np.float32)[0])
             self._buf = self._buf[self.hop:]

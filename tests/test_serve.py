@@ -86,6 +86,47 @@ def test_serve_artifact_matches_offline(tmp_path):
     assert summary["dropped_tail_samples"] == rf - down + 17
 
 
+def test_serve_transformer_artifact_matches_offline(tmp_path):
+    """The transformer streaming artifact (explicit KV carry) serves
+    through the same CLI: frames == offline VALID forward, and the
+    positional-table bound stops the server loudly instead of corrupting
+    (the artifact's clamp semantics)."""
+    cfg = ModelConfig(
+        encoder=EncoderConfig(kind="conv1d", channels=(24, 24, 24),
+                              kernels=(10, 8, 4), strides=(5, 4, 2),
+                              d_enc=24),
+        ar=ArConfig(kind="transformer", d_ar=16, num_heads=2, num_layers=1,
+                    max_len=12),
+    )
+    model = CPCModel(cfg)
+    # init under the tiny positional table: 480 samples -> 12 latents
+    params = model.init(jax.random.key(0), np.zeros((1, 480), np.float32))
+    n = 4
+    path = _save(tmp_path, model, params, cfg, n=n)
+    rf, down = receptive_field(cfg.encoder.kernels, cfg.encoder.strides)
+    W, hop = rf + (n - 1) * down, n * down
+    wave = (np.random.default_rng(9).standard_normal(W + 2 * hop + 5)
+            .astype(np.float32) * 0.3)
+    raw, lines = _run(["--artifact", path, "--emit", "zc",
+                       "--chunk-samples", "500"], wave.tobytes())
+    d = cfg.encoder.d_enc + cfg.ar.d_ar
+    frames = np.frombuffer(raw, "<f4").reshape(-1, d)
+    assert frames.shape[0] == 3 * n  # 12 latents = exactly max_len
+    z_off, c_off = _offline(cfg, params, wave[: W + 2 * hop])
+    np.testing.assert_allclose(frames[:, : cfg.encoder.d_enc], z_off,
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(frames[:, cfg.encoder.d_enc:], c_off,
+                               rtol=1e-5, atol=1e-5)
+
+    # a 4th window would pass position 12 > max_len: loud stop, not clamp
+    long_wave = (np.random.default_rng(10)
+                 .standard_normal(W + 3 * hop).astype(np.float32) * 0.3)
+    with pytest.raises(SystemExit, match="positional table"):
+        serve_main(["--artifact", path],
+                   stdin=io.BytesIO(long_wave.tobytes()),
+                   stdout=io.BytesIO(), stderr=io.StringIO())
+
+
 def test_serve_i16_input_exact(tmp_path):
     """i16 stdin decodes as q/32768 exactly — serving the quantized wire
     format must equal the f32 path fed the dequantized samples."""

@@ -1,0 +1,31 @@
+#!/bin/bash
+# Deadline guard for end-of-round chip handoff: the driver's bench.py run
+# needs the single-claim TPU, so any still-running study must be stopped
+# BEFORE the round ends. SIGTERM is the graceful path the stack is built
+# for (Trainer checkpoints at the interrupt step, probe_study exits 0,
+# the watchdog sees a clean exit and stops) — the next round resumes from
+# the checkpoint with `maybe_resume`.
+#
+# Usage: deadline_guard.sh EPOCH_DEADLINE WD_LOGFILE
+#   EPOCH_DEADLINE  unix time at which to stop the run
+#   WD_LOGFILE      the watchdog's .wd log; its last "started pid=" line
+#                   names the CURRENT child (the watchdog may have
+#                   restarted it since launch — never kill by pattern)
+set -u
+DEADLINE="$1"; WDLOG="$2"
+while [ "$(date +%s)" -lt "$DEADLINE" ]; do sleep 60; done
+[ -f "$WDLOG" ] || exit 0
+pid=$(grep -o 'started pid=[0-9]*' "$WDLOG" | tail -1 | cut -d= -f2)
+[ -n "$pid" ] || exit 0
+if kill -0 "$pid" 2>/dev/null; then
+  echo "[deadline] $(date -u +%FT%TZ) TERM pid=$pid" >> "$WDLOG"
+  kill -TERM "$pid" 2>/dev/null
+  # the graceful path needs one step + an async checkpoint save; escalate
+  # only if the process is still alive well past that
+  for _ in $(seq 1 30); do
+    kill -0 "$pid" 2>/dev/null || exit 0
+    sleep 10
+  done
+  echo "[deadline] escalating KILL pid=$pid" >> "$WDLOG"
+  kill -KILL -- -"$pid" 2>/dev/null || kill -KILL "$pid" 2>/dev/null
+fi

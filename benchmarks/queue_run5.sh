@@ -8,12 +8,21 @@
 # dynamics corpus the transformer study uses, which is seed-deterministic
 # and therefore identical to r3's run-4/5 corpus.
 #
-# Usage: queue_run5.sh WAIT_PID   (the current chip-holder; 0 = none)
+# Usage: queue_run5.sh WAIT_PID [EPOCH_DEADLINE]
+#   WAIT_PID        the current chip-holder; 0 = none
+#   EPOCH_DEADLINE  don't START if past this time (the end-of-round chip
+#                   handoff — deadline_guard.sh stops whatever is running)
 set -u
 cd /root/repo
 WAIT_PID="${1:-0}"
+DEADLINE="${2:-0}"
 if [ "$WAIT_PID" -gt 0 ]; then
   while kill -0 "$WAIT_PID" 2>/dev/null; do sleep 60; done
+fi
+if [ "$DEADLINE" -gt 0 ] && [ "$(date +%s)" -ge "$DEADLINE" ]; then
+  echo "[queue] past deadline $DEADLINE — not starting run 5" \
+    >> /tmp/queue_run5.out
+  exit 0
 fi
 sleep 30   # let the chip claim fully release
 mkdir -p runs/run5_32k

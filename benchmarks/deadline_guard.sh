@@ -13,7 +13,13 @@
 #                   restarted it since launch — never kill by pattern)
 set -u
 DEADLINE="$1"; WDLOG="$2"
+LOG="${WDLOG%.wd}"   # watchdog convention: WDLOG = "$LOG.wd"
 while [ "$(date +%s)" -lt "$DEADLINE" ]; do sleep 60; done
+# stop file FIRST: whatever way the child exits now (graceful SIGTERM
+# exit 0, staleness kill, crash), the watchdog sees the file and exits
+# instead of restarting — without this, a KILLed child (rc!=0) would be
+# restarted and the chip never released (review r4)
+touch "$LOG.stop" 2>/dev/null
 [ -f "$WDLOG" ] || exit 0
 pid=$(grep -o 'started pid=[0-9]*' "$WDLOG" | tail -1 | cut -d= -f2)
 [ -n "$pid" ] || exit 0
@@ -26,6 +32,6 @@ if kill -0 "$pid" 2>/dev/null; then
     kill -0 "$pid" 2>/dev/null || exit 0
     sleep 10
   done
-  echo "[deadline] escalating KILL pid=$pid" >> "$WDLOG"
+  echo "[deadline] escalating KILL pg $pid" >> "$WDLOG"
   kill -KILL -- -"$pid" 2>/dev/null || kill -KILL "$pid" 2>/dev/null
 fi

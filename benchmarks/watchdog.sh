@@ -9,32 +9,53 @@
 # Usage: watchdog.sh LOGFILE STALE_SECS MAX_RESTARTS -- cmd args...
 # The ~20 min default threshold clears Mosaic compile and probe-battery
 # gaps (both log nothing while working but finish well under that).
+#
+# Stop protocol: touching LOGFILE.stop makes the watchdog exit instead of
+# restarting (checked before every spawn AND after every child exit —
+# including a graceful SIGTERM exit 0). deadline_guard.sh uses this to
+# guarantee the chip is released at the end-of-round handoff.
+#
+# A STALENESS kill is the watchdog's own doing, so the child's exit code
+# for it proves nothing about completion: the Trainer handles SIGTERM
+# gracefully (checkpoint + exit 0), which must NOT be mistaken for the
+# study finishing — restart after self-initiated kills regardless of rc.
 set -u
 LOG="$1"; STALE="$2"; MAX="$3"; shift 3
 [ "$1" = "--" ] && shift
 restarts=0
 while :; do
+  if [ -f "$LOG.stop" ]; then
+    echo "[watchdog] stop file present — exiting" >> "$LOG.wd"; exit 0
+  fi
   setsid "$@" >> "$LOG" 2>&1 < /dev/null &
   pid=$!
   echo "[watchdog] started pid=$pid restarts=$restarts" >> "$LOG.wd"
+  self_killed=0
   while kill -0 "$pid" 2>/dev/null; do
     sleep 60
     now=$(date +%s); mt=$(stat -c %Y "$LOG" 2>/dev/null || echo "$now")
     if [ $((now - mt)) -gt "$STALE" ]; then
       echo "[watchdog] log stale $((now - mt))s — killing pg $pid" >> "$LOG.wd"
+      self_killed=1
       kill -TERM -- -"$pid" 2>/dev/null; sleep 30
       kill -KILL -- -"$pid" 2>/dev/null
       break
     fi
   done
   wait "$pid"; rc=$?
-  if [ "$rc" -eq 0 ]; then
+  if [ -f "$LOG.stop" ]; then
+    echo "[watchdog] stop file present after child exit (rc=$rc) — exiting" \
+      >> "$LOG.wd"
+    exit 0
+  fi
+  if [ "$rc" -eq 0 ] && [ "$self_killed" -eq 0 ]; then
     echo "[watchdog] child exited clean" >> "$LOG.wd"; exit 0
   fi
   restarts=$((restarts + 1))
   if [ "$restarts" -gt "$MAX" ]; then
     echo "[watchdog] restart budget exhausted (rc=$rc)" >> "$LOG.wd"; exit 1
   fi
-  echo "[watchdog] child rc=$rc — restarting ($restarts/$MAX)" >> "$LOG.wd"
+  echo "[watchdog] child rc=$rc self_killed=$self_killed — restarting" \
+    "($restarts/$MAX)" >> "$LOG.wd"
   sleep 20
 done

@@ -261,7 +261,12 @@ def make_cp_train_step(cfg, *, mesh: Mesh, axis: str | None = None,
             step = jax.jit(lambda p, o, c, i: _step(p, o, (c, i)),
                            donate_argnums=(0, 1))
     elif dcfg.augment:
-        step = jax.jit(_step, donate_argnums=(0, 1))
+        # rng is REQUIRED positionally: a legacy 3-arg call must fail
+        # loudly, not fall into _step's rng=None default and silently
+        # skip augmentation (the knob-does-nothing failure mode this
+        # module's build-time raises exist to prevent)
+        step = jax.jit(lambda p, o, x, r: _step(p, o, x, r),
+                       donate_argnums=(0, 1))
     else:
         step = jax.jit(_ft.partial(_step, rng=None), donate_argnums=(0, 1))
     return step, opt

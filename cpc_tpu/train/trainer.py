@@ -181,13 +181,20 @@ class Trainer:
         self.preempted = False
         if par != "dp":
             # the (B, S) wire batch is sharded along TIME (and batch, for
-            # dpcp) — the CP step's device_prepare/loss run on those shards
+            # dpcp) — the CP step's device_prepare/loss run on those shards.
+            # device_corpus indices shard over the data axis only (the
+            # on-device gather produces the time axis, which GSPMD slices
+            # onto 'ctx'): a separate 1-D sharding, hoisted off _stage's
+            # per-step path
             from jax.sharding import NamedSharding, PartitionSpec as P
             self._sharding = NamedSharding(
                 self.mesh, P("data" if par == "dpcp" else None, "ctx"))
+            self._idx_sharding = NamedSharding(
+                self.mesh, P("data" if par == "dpcp" else None))
         else:
             self._sharding = (batch_sharding(self.mesh)
                               if self.mesh.size > 1 else None)
+            self._idx_sharding = self._sharding
 
     def maybe_resume(self) -> bool:
         """Restore latest checkpoint if present; returns True if resumed."""
@@ -227,16 +234,9 @@ class Trainer:
         process contributes its own rows under multi-process)."""
         sh = self._sharding
         if self._corpus is not None and np.ndim(host_batch) == 1:
-            # device_corpus wire: host_batch is the (B,) index vector.
-            # Under CP the batch sharding is 2-D (time on 'ctx'); the
-            # indices shard over the data axis only — the on-device gather
-            # produces the time axis, which GSPMD then slices onto 'ctx'
-            # (replicated corpus: a local slice, no communication).
-            par = self.cfg.train.parallel
-            if par in ("cp", "dpcp"):
-                from jax.sharding import NamedSharding, PartitionSpec as P
-                sh = NamedSharding(self.mesh,
-                                   P("data" if par == "dpcp" else None))
+            # device_corpus wire: host_batch is the (B,) index vector,
+            # sharded over the data axis only (see __init__)
+            sh = self._idx_sharding
         if self._mh:
             return multihost.shard_batch(host_batch, sh)
         return to_device(host_batch, sh)

@@ -106,9 +106,18 @@ def test_cp_validation(mesh):
     z = jnp.zeros((1, T + 1, 24), jnp.float32)
     with pytest.raises(ValueError, match="divisible"):
         cp_transformer_apply(_cfg(T), {}, z, mesh=mesh)
-    with pytest.raises(ValueError, match="decode"):
-        CausalTransformer(_cfg(64), decode=True).init(
-            jax.random.PRNGKey(0), jnp.zeros((1, 1, 24), jnp.float32))
+    # decode_step needs the explicit-projection blocks: an 'xla'-impl
+    # model (flax MHA) must refuse with the carry_decode_model pointer,
+    # not fail deep inside flax (the r4 cache-as-carry replacement for the
+    # old decode=True flag this test used to pin)
+    from cpc_tpu.models.transformer import decode_carry
+    m_xla = CausalTransformer(_cfg(64, "xla"))
+    p_xla = m_xla.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, 64, 32), jnp.float32))
+    carry = decode_carry(_cfg(64, "xla"), n_streams=1)
+    with pytest.raises(ValueError, match="q/k/v"):
+        m_xla.apply(p_xla, jnp.zeros((1, 32), jnp.float32), carry,
+                    method=m_xla.decode_step)
     # plain (non-shard_map) apply of a ring-impl config must fail with an
     # actionable error, not an unbound-axis trace error
     m_ring = CausalTransformer(_cfg(64))

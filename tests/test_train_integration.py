@@ -206,6 +206,12 @@ def test_device_corpus_matches_host_path(corpus):
     # trip before a huge upload
     tr_m = Trainer(dcfg, SnippetDataset(corpus, cfg.data.snippet_samples))
     assert tr_m.mesh.size > 1 and tr_m._corpus is not None
+    # ...and actually TRAIN: the Trainer-level wire (_stage sharding the
+    # 1-D idx alongside the 2-D batch sharding) is only exercised by
+    # stepping, not by construction (review r4)
+    tr_m.train(3)
+    assert tr_m.step == 3 and np.isfinite(
+        float(jax.tree_util.tree_leaves(tr_m.params)[0].sum()))
     tr_m.close()
     ds = SnippetDataset(corpus, cfg.data.snippet_samples)
     with pytest.raises(ValueError, match="budget"):

@@ -31,6 +31,11 @@ SERIES = [
     ("10.24 s", "#0d366b", [(0, 2.2, 1.3), (8000, 3.4, 0.7),
                             (12000, 10.6, 0.8), (16000, 12.8, 0.9)]),
 ]
+# different FAMILY at a fixed context (run 6): categorical accent hue +
+# dashes, deliberately outside the blue context-length ramp
+TRANSFORMER = ("5.12 s transformer", "#c2410c",
+               [(0, 4.1, 0.4), (4000, 2.0, 0.6), (8000, 2.5, 0.6),
+                (12000, 4.8, 0.5), (16000, 6.8, 0.5), (20000, 7.1, 1.7)])
 CHANCE = 3.125  # 32 speakers
 INK, INK2, GRID = "#1a1a19", "#6e6d66", "#e8e7e3"
 
@@ -55,6 +60,14 @@ def main(out="docs/fig_context_scaling.svg"):
         ax.annotate(name, (xs[-1], ys[-1]), xytext=(dx, dy), ha=ha,
                     textcoords="offset points", va="center", fontsize=9,
                     color=INK)
+    name, color, rows = TRANSFORMER
+    xs, ys, es = ([r[i] for r in rows] for i in range(3))
+    ax.errorbar(xs, ys, yerr=es, color=color, lw=2, ls=(0, (5, 2.5)),
+                marker="s", ms=4, mfc=color, mec="white", mew=1, capsize=2,
+                elinewidth=1, zorder=2)
+    ax.annotate(name, (xs[-1], ys[-1]), xytext=(7, 0), ha="left",
+                textcoords="offset points", va="center", fontsize=9,
+                color=INK)
     ax.axhline(CHANCE, color=INK2, lw=1, ls=(0, (4, 3)), zorder=1)
     ax.annotate("chance (1/32)", (32500, CHANCE), xytext=(0, -11),
                 textcoords="offset points", ha="right", fontsize=8,

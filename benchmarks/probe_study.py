@@ -191,7 +191,12 @@ def main() -> None:
                 # milestone (a rerun resumes from the checkpoint)
                 print(json.dumps({"preempted_at": tr.step}), flush=True)
                 tr.close()
-                return
+                # EX_TEMPFAIL, not 0: watchdog.sh infers completion from
+                # rc==0 — an externally-delivered graceful SIGTERM must
+                # read as "restart me; I resume from the checkpoint", not
+                # as the study finishing (review r4). The deadline guard's
+                # stop file is what makes a preemption final.
+                sys.exit(75)
             print(json.dumps({"trained_to": ms,
                               "secs": round(time.time() - t0, 1)}),
                   flush=True)

@@ -26,6 +26,15 @@ if [ "$DEADLINE" -gt 0 ] && [ "$(date +%s)" -ge "$DEADLINE" ]; then
 fi
 sleep 30   # let the chip claim fully release
 mkdir -p runs/run5_32k
+# guard the run WE start: the deadline must stop it too, not only gate
+# the start — otherwise a run launched just before the deadline holds the
+# single-claim chip through the handoff (review r4). Idempotent with an
+# externally-started guard on the same wdlog (both touch the same stop
+# file; TERM of an already-dead pid is a no-op).
+if [ "$DEADLINE" -gt 0 ]; then
+  setsid bash benchmarks/deadline_guard.sh "$DEADLINE" \
+    /root/repo/runs/run5_32k/study.log.wd < /dev/null >> /tmp/queue_run5.out 2>&1 &
+fi
 exec bash benchmarks/watchdog.sh /root/repo/runs/run5_32k/study.log 1200 8 -- \
   python benchmarks/probe_study.py --style dynamics --files-per-speaker 16 \
   --seconds-per-file 24 \

@@ -182,10 +182,17 @@ def export_streaming_step(
                                       method=CausalTransformer.decode_step)
                 return carry, c_t
 
-            carry, c_tm = jax.lax.scan(step, {"k": k, "v": v, "pos": pos},
-                                       z.transpose(1, 0, 2))
+            # wire format stays the stacked (L, B, S, H, Dh) pair (fixed
+            # artifact arity regardless of depth); unstack to decode_step's
+            # per-layer tuple form around the scan so each token pays only
+            # a row scatter, not a stacked-axis slice/update round trip
+            L = ar.num_layers
+            carry = {"k": tuple(k[i] for i in range(L)),
+                     "v": tuple(v[i] for i in range(L)), "pos": pos}
+            carry, c_tm = jax.lax.scan(step, carry, z.transpose(1, 0, 2))
             return (z, jnp.transpose(c_tm, (1, 0, 2)),
-                    carry["k"], carry["v"], carry["pos"])
+                    jnp.stack(carry["k"]), jnp.stack(carry["v"]),
+                    carry["pos"])
 
         dh = ar.d_ar // ar.num_heads
         kv = jax.ShapeDtypeStruct(

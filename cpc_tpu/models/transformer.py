@@ -338,26 +338,46 @@ class CausalTransformer(nn.Module):
         x = self.in_proj(z_t.astype(self.dtype))[:, None, :]   # (B, 1, d)
         p = jnp.take(self.pos_embed, pos, axis=0)              # (B, d)
         x = x + p.astype(self.dtype)[:, None, :]
-        ks, vs = [], []
-        for i, blk in enumerate(self.blocks):
-            x, k_i, v_i = blk.decode_step(x, k_all[i], v_all[i], pos)
-            ks.append(k_i)
-            vs.append(v_i)
+        if isinstance(k_all, tuple):
+            # fast path (what decode_carry builds): one buffer PER LAYER,
+            # so each step only row-scatters the new K/V — no slice out of
+            # / dynamic-update back into a stacked (L, ...) array, which
+            # XLA:CPU does not elide and costs a full-cache copy per token
+            ks, vs = list(k_all), list(v_all)
+            for i, blk in enumerate(self.blocks):
+                x, ks[i], vs[i] = blk.decode_step(x, ks[i], vs[i], pos)
+            new_k, new_v = tuple(ks), tuple(vs)
+        else:
+            # stacked (L, B, S, H, Dh) arrays — the export/serve WIRE
+            # format (kept: a fixed arity of artifact inputs regardless of
+            # depth). export_streaming_step converts to the tuple form
+            # around its scan so the per-token cost is the same.
+            for i, blk in enumerate(self.blocks):
+                x, k_i, v_i = blk.decode_step(x, k_all[i], v_all[i], pos)
+                k_all = k_all.at[i].set(k_i)
+                v_all = v_all.at[i].set(v_i)
+            new_k, new_v = k_all, v_all
         c_t = self.final_norm(x)[:, 0]
-        return c_t, {"k": jnp.stack(ks), "v": jnp.stack(vs),
-                     "pos": pos + 1}
+        return c_t, {"k": new_k, "v": new_v, "pos": pos + 1}
 
 
 def decode_carry(cfg: ArConfig, n_streams: int) -> dict:
-    """Fresh cache-as-carry for decode_step: per-layer K/V buffers stacked
-    as (num_layers, n_streams, max_len, num_heads, head_dim) fp32 zeros
-    plus per-stream positions (n_streams,) int32 zeros. Resetting stream b
-    is `carry['pos'].at[b].set(0)` — its stale K/V entries are masked off
-    by the position bound, never read."""
+    """Fresh cache-as-carry for decode_step: per-layer K/V buffers as a
+    num_layers-TUPLE of (n_streams, max_len, num_heads, head_dim) fp32
+    zeros plus per-stream positions (n_streams,) int32 zeros. Per-layer
+    buffers (not one stacked array) so each decoded token row-scatters
+    into its layer's buffer directly — no slice/update-slice round trip
+    through a stacked axis (measured 1.4x on the 64-token streaming scan,
+    L=4 B=16 S=1024, XLA:CPU). decode_step also accepts the stacked
+    (num_layers, ...) array form — the export/serve wire format.
+    Resetting stream b is `carry['pos'].at[b].set(0)` — its stale K/V
+    entries are masked off by the position bound, never read."""
     dh = cfg.d_ar // cfg.num_heads
-    shape = (cfg.num_layers, n_streams, cfg.max_len, cfg.num_heads, dh)
-    return {"k": jnp.zeros(shape, jnp.float32),
-            "v": jnp.zeros(shape, jnp.float32),
+    shape = (n_streams, cfg.max_len, cfg.num_heads, dh)
+    return {"k": tuple(jnp.zeros(shape, jnp.float32)
+                       for _ in range(cfg.num_layers)),
+            "v": tuple(jnp.zeros(shape, jnp.float32)
+                       for _ in range(cfg.num_layers)),
             "pos": jnp.zeros((n_streams,), jnp.int32)}
 
 

@@ -27,6 +27,7 @@ def main() -> None:
     p.add_argument("--eval-every", type=int, default=10**9)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--parallel", default="dp", choices=["dp", "dpcp"])
+    p.add_argument("--device-corpus", action="store_true")
     args = p.parse_args()
 
     if args.nprocs > 1:
@@ -50,7 +51,8 @@ def main() -> None:
                                         strides=(5, 4, 2), d_enc=16),
             ar=dataclasses.replace(cfg.model.ar, d_ar=16)),
         data=dataclasses.replace(cfg.data, batch_size=8,
-                                 snippet_samples=2000),
+                                 snippet_samples=2000,
+                                 device_corpus=args.device_corpus),
         train=dataclasses.replace(cfg.train, num_steps=args.steps,
                                   log_every=1, eval_every=args.eval_every,
                                   checkpoint_every=args.ckpt_every),

@@ -41,7 +41,7 @@ def _free_port() -> int:
 
 
 def _run(corpus, workdir, *, nprocs, devs_per_proc, steps, ckpt_every=1000,
-         eval_every=None, resume=False, parallel="dp"):
+         eval_every=None, resume=False, parallel="dp", device_corpus=False):
     """Launch `nprocs` driver processes; return pid-0's final JSON line."""
     port = _free_port()
     env = dict(os.environ)
@@ -60,6 +60,8 @@ def _run(corpus, workdir, *, nprocs, devs_per_proc, steps, ckpt_every=1000,
             cmd += ["--eval-every", str(eval_every)]
         if resume:
             cmd.append("--resume")
+        if device_corpus:
+            cmd.append("--device-corpus")
         procs.append(subprocess.Popen(
             cmd, cwd=REPO, env=env, text=True,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE))
@@ -147,6 +149,28 @@ def test_two_process_dpcp_matches_single_process(corpus, tmp_path):
     assert set(l1) == set(l2) and len(l1) == 6
     for step in sorted(l1):
         np.testing.assert_allclose(l2[step], l1[step], rtol=1e-5,
+                                   err_msg=f"step {step}")
+
+
+def test_two_process_device_corpus_matches_host_path(corpus, tmp_path):
+    """The flagship long-run wire under the multi-process runtime
+    (CLAUDE.md mandates device_corpus for long runs on this host): the
+    int16 corpus is replicated into each process's devices and only the
+    (B,) snippet-index vector crosses the host boundary, sharded over the
+    global 'data' axis. Must reproduce the host-path loss trajectory —
+    same batches, same math, only the staging wire differs."""
+    wd_h = str(tmp_path / "host")
+    wd_d = str(tmp_path / "devcorpus")
+    done_h = _run(corpus, wd_h, nprocs=2, devs_per_proc=4, steps=6)
+    done_d = _run(corpus, wd_d, nprocs=2, devs_per_proc=4, steps=6,
+                  device_corpus=True)
+    assert done_h["done"] == 6 and done_d["done"] == 6
+    assert done_d["procs"] == 2 and done_d["devices"] == 8
+
+    l_h, l_d = _losses(wd_h), _losses(wd_d)
+    assert set(l_h) == set(l_d) and len(l_h) == 6
+    for step in sorted(l_h):
+        np.testing.assert_allclose(l_d[step], l_h[step], rtol=1e-5,
                                    err_msg=f"step {step}")
 
 

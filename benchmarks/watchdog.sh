@@ -22,6 +22,10 @@
 set -u
 LOG="$1"; STALE="$2"; MAX="$3"; shift 3
 [ "$1" = "--" ] && shift
+# poll/settle intervals, overridable so tests can run the protocol in
+# seconds (production defaults: 60 s staleness poll, 30 s TERM->KILL
+# grace, 20 s restart backoff)
+TICK="${WD_TICK:-60}"; GRACE="${WD_GRACE:-30}"; BACKOFF="${WD_BACKOFF:-20}"
 restarts=0
 while :; do
   if [ -f "$LOG.stop" ]; then
@@ -32,12 +36,12 @@ while :; do
   echo "[watchdog] started pid=$pid restarts=$restarts" >> "$LOG.wd"
   self_killed=0
   while kill -0 "$pid" 2>/dev/null; do
-    sleep 60
+    sleep "$TICK"
     now=$(date +%s); mt=$(stat -c %Y "$LOG" 2>/dev/null || echo "$now")
     if [ $((now - mt)) -gt "$STALE" ]; then
       echo "[watchdog] log stale $((now - mt))s — killing pg $pid" >> "$LOG.wd"
       self_killed=1
-      kill -TERM -- -"$pid" 2>/dev/null; sleep 30
+      kill -TERM -- -"$pid" 2>/dev/null; sleep "$GRACE"
       kill -KILL -- -"$pid" 2>/dev/null
       break
     fi
@@ -57,5 +61,5 @@ while :; do
   fi
   echo "[watchdog] child rc=$rc self_killed=$self_killed — restarting" \
     "($restarts/$MAX)" >> "$LOG.wd"
-  sleep 20
+  sleep "$BACKOFF"
 done

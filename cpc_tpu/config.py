@@ -363,11 +363,19 @@ class presets:
     @staticmethod
     def transformer_gar() -> CPCConfig:
         """Causal-transformer context network replacing the GRU
-        (BASELINE.json:9)."""
+        (BASELINE.json:9).
+
+        Bakes in the measured training recipe: without LR warmup + global-
+        norm grad clipping this model flatlines at the 1/pool accuracy
+        floor with grad-norm spikes to 12+ in its first 1000 steps, while
+        the same seed trains cleanly with them (docs/DESIGN.md "transformer
+        gar needs warmup + clipping"; RESULTS.md run 6). The GRU presets
+        need neither, so the knobs live here, not in TrainConfig defaults."""
         return CPCConfig(
             name="transformer_gar",
             model=ModelConfig(ar=ArConfig(kind="transformer", d_ar=256,
                                           num_layers=2, num_heads=8)),
+            train=TrainConfig(warmup_steps=1000, grad_clip_norm=1.0),
         )
 
     @staticmethod
@@ -419,14 +427,18 @@ class presets:
     @staticmethod
     def transformer_fast() -> CPCConfig:
         """Transformer family at the bench perf configuration (bf16, batch
-        64, fused loss); see scalogram_fast."""
+        64, fused loss); see scalogram_fast. Carries the same warmup+clip
+        recipe as transformer_gar (the collapse is architectural, not a
+        precision artifact — docs/DESIGN.md)."""
         base = presets.tpu_fast()
         return dataclasses.replace(
             base, name="transformer_fast",
             model=dataclasses.replace(
                 base.model,
                 ar=ArConfig(kind="transformer", d_ar=256, num_layers=2,
-                            num_heads=8)))
+                            num_heads=8)),
+            train=dataclasses.replace(base.train, warmup_steps=1000,
+                                      grad_clip_norm=1.0))
 
     @staticmethod
     def by_name(name: str) -> CPCConfig:

@@ -80,3 +80,38 @@ def test_transformer_variant_trains(speech_corpus, tmp_path, attn_impl):
     tr.close()
     losses = _losses(tmp_path / "xfmr")
     assert losses[-1] < losses[0], losses
+
+
+def test_transformer_preset_recipe_baked_in(speech_corpus, tmp_path):
+    """The transformer_gar preset must train WITHOUT the user supplying any
+    recipe flags (VERDICT r4 next #6): run 6 measured that this family
+    flatlines at the 1/pool accuracy floor with grad-norm spikes to 12+
+    unless LR warmup + grad clipping are on (docs/DESIGN.md "transformer
+    gar needs warmup + clipping"), so the preset now carries them. This
+    test (a) pins the recipe into both transformer presets, (b) trains the
+    transformer_gar preset as-is — model and train recipe untouched, only
+    corpus/step-count shrunk for CPU — and requires the loss to move off
+    its start while warmup is still ramping."""
+    import dataclasses
+
+    from cpc_tpu.config import presets
+
+    for name in ("transformer_gar", "transformer_fast"):
+        cfg = presets.by_name(name)
+        assert cfg.train.warmup_steps > 0, name
+        assert cfg.train.grad_clip_norm > 0, name
+
+    cfg = presets.transformer_gar()
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, batch_size=8,
+                                 snippet_samples=4800, prefetch=1),
+        train=dataclasses.replace(cfg.train, num_steps=60, log_every=10,
+                                  eval_every=10**9, checkpoint_every=10**9),
+    )
+    ds = SnippetDataset(speech_corpus, cfg.data.snippet_samples)
+    tr = Trainer(cfg, ds, workdir=str(tmp_path / "preset"))
+    tr.train()
+    tr.close()
+    losses = _losses(tmp_path / "preset")
+    assert losses[-1] < losses[0], losses

@@ -37,7 +37,10 @@ Layout facts the mapping encodes (verified against torch in the tests):
 
 Only the conv1d+GRU family (the reference's architecture) imports;
 scalogram/transformer configs raise — they have no reference checkpoints
-to migrate.
+to migrate. The EXPORT direction additionally covers the transformer gar
+(`_export_transformer_gar`): that is how the torch training-parity oracle
+(tests/torch_oracle.py) is initialized from CPCModel weights, giving the
+BASELINE.json:9 variant a cross-framework check (VERDICT r4 next #7).
 """
 
 from __future__ import annotations
@@ -224,15 +227,59 @@ def to_torch_state_dict(variables, cfg: CPCConfig) -> Dict[str, np.ndarray]:
             # eval-mode numerics then differ — documented above)
             out[f"encoder.bn{i}.running_mean"] = np.zeros(ch, np.float32)
             out[f"encoder.bn{i}.running_var"] = np.ones(ch, np.float32)
-    for layer in range(mc.ar.num_layers):
-        leaf = p["gar"][f"layer{layer}"]
-        out[f"gar.weight_ih_l{layer}"] = _np(leaf["wi"]).T
-        out[f"gar.weight_hh_l{layer}"] = _np(leaf["wh"]).T
-        out[f"gar.bias_ih_l{layer}"] = _np(leaf["bi"])
-        out[f"gar.bias_hh_l{layer}"] = _np(leaf["bh"])
+    if mc.ar.kind == "transformer":
+        _export_transformer_gar(p["gar"], mc, out)
+    else:
+        for layer in range(mc.ar.num_layers):
+            leaf = p["gar"][f"layer{layer}"]
+            out[f"gar.weight_ih_l{layer}"] = _np(leaf["wi"]).T
+            out[f"gar.weight_hh_l{layer}"] = _np(leaf["wh"]).T
+            out[f"gar.bias_ih_l{layer}"] = _np(leaf["bi"])
+            out[f"gar.bias_hh_l{layer}"] = _np(leaf["bh"])
     out["prediction_heads.weight"] = _np(
         p["prediction_heads"]["kernel"]).T
     return out
+
+
+def _export_transformer_gar(g: Dict, mc, out: Dict[str, np.ndarray]) -> None:
+    """CausalTransformer params → torch-Linear-layout keys (VERDICT r4 next
+    #7: the transformer-gar torch oracle imports through here, mirroring
+    models/transformer.py exactly).
+
+    Layout facts this encodes (pinned by tests/test_interop.py):
+      * flax DenseGeneral q/k/v kernels are (d, H, Dh) with (H, Dh) bias;
+        a torch Linear(d, d) sees them flattened — feature h*Dh+e of the
+        flat form is head h, channel e (the same order the out projection's
+        (H, Dh, d) kernel contracts);
+      * torch Linear weight is (out, in) = flax kernel transposed;
+      * names match tests/torch_oracle._TorchTransformerGar attributes so
+        the oracle's load_state_dict needs no renaming for the gar."""
+    d = mc.ar.d_ar
+    out["gar.in_proj.weight"] = _np(g["in_proj"]["kernel"]).T
+    out["gar.in_proj.bias"] = _np(g["in_proj"]["bias"])
+    out["gar.pos_embed"] = _np(g["pos_embed"])
+    for i in range(mc.ar.num_layers):
+        blk = g[f"block{i}"]
+        pre = f"gar.blocks.{i}."
+        out[pre + "ln_attn.weight"] = _np(blk["LayerNorm_0"]["scale"])
+        out[pre + "ln_attn.bias"] = _np(blk["LayerNorm_0"]["bias"])
+        mha = blk["MultiHeadDotProductAttention_0"]
+        for name, short in (("query", "attn_q"), ("key", "attn_k"),
+                            ("value", "attn_v")):
+            out[pre + f"{short}.weight"] = (
+                _np(mha[name]["kernel"]).reshape(d, d).T)
+            out[pre + f"{short}.bias"] = _np(mha[name]["bias"]).reshape(d)
+        out[pre + "attn_out.weight"] = (
+            _np(mha["out"]["kernel"]).reshape(d, d).T)
+        out[pre + "attn_out.bias"] = _np(mha["out"]["bias"])
+        out[pre + "ln_mlp.weight"] = _np(blk["LayerNorm_1"]["scale"])
+        out[pre + "ln_mlp.bias"] = _np(blk["LayerNorm_1"]["bias"])
+        out[pre + "fc1.weight"] = _np(blk["Dense_0"]["kernel"]).T
+        out[pre + "fc1.bias"] = _np(blk["Dense_0"]["bias"])
+        out[pre + "fc2.weight"] = _np(blk["Dense_1"]["kernel"]).T
+        out[pre + "fc2.bias"] = _np(blk["Dense_1"]["bias"])
+    out["gar.final_norm.weight"] = _np(g["final_norm"]["scale"])
+    out["gar.final_norm.bias"] = _np(g["final_norm"]["bias"])
 
 
 def import_checkpoint(ckpt_path: str, cfg: CPCConfig, workdir: str) -> int:

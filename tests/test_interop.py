@@ -97,6 +97,34 @@ def test_forward_parity_batchnorm():
     _forward_parity(bn=True)
 
 
+def test_forward_parity_transformer():
+    """Transformer-gar forward parity (VERDICT r4 next #7): CPCModel
+    weights exported through interop._export_transformer_gar must drive the
+    torch mirror (tests/torch_oracle._TorchTransformerGar — explicit
+    q/k/v/out Linears, flax-MHA scaling, tanh-gelu, eps=1e-6 LayerNorms) to
+    the same z/c/preds."""
+    from tests.torch_oracle import TorchCPC, load_cpc_params_into_torch
+
+    cfg = _cfg()
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, ar=ArConfig(kind="transformer", d_ar=12, num_layers=2,
+                               num_heads=3, max_len=128)))
+    model = CPCModel(cfg.model)
+    variables = model.init(jax.random.key(3),
+                           np.zeros((1, 2000), np.float32))
+    tm = TorchCPC(cfg)
+    load_cpc_params_into_torch(variables, cfg, tm)
+
+    x = np.random.default_rng(4).standard_normal((4, 2000)).astype(np.float32)
+    with torch.no_grad():
+        zt, ct, pt = (a.numpy() for a in tm(torch.from_numpy(x)))
+    out = model.apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out.z), zt, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.c), ct, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.preds), pt, rtol=2e-4,
+                               atol=2e-5)
+
+
 def test_forward_parity_multilayer_gru_biasfree_conv():
     """2-layer torch GRU (weight_ih_l1 routing) + bias-free convs (zero-
     bias synthesis) still give forward equality."""

@@ -94,3 +94,35 @@ def test_training_parity_all_steps():
     rep = _run("all_steps")
     assert rep["loss_rel_diff_first10"] < 1e-3, rep
     assert rep["acc_abs_diff_max_pct"] < 1.0, rep
+
+
+def test_training_parity_transformer():
+    """The transformer-gar variant (BASELINE.json:9) against its torch
+    mirror (VERDICT r4 next #7), under the presets' baked-in recipe
+    (warmup + global-norm clipping, mirrored step-for-step in
+    torch_oracle.train_torch). Forward parity of the weight export is
+    pinned by test_interop.test_forward_parity_transformer; this pins the
+    training DYNAMICS — optimizer, schedule, clipping, loss, per-k
+    accuracy — over the same deterministic batch stream."""
+    cfg = _cfg(negatives="same_step")
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model, ar=ArConfig(kind="transformer", d_ar=12,
+                                   num_layers=2, num_heads=3, max_len=128)),
+        train=dataclasses.replace(cfg.train, warmup_steps=20,
+                                  grad_clip_norm=1.0))
+    model = CPCModel(cfg.model)
+    variables = model.init(jax.random.key(7),
+                           np.zeros((1, cfg.data.snippet_samples),
+                                    np.float32))
+    tm = TorchCPC(cfg)
+    load_cpc_params_into_torch(variables, cfg, tm)
+    torch.manual_seed(0)
+    torch.set_num_threads(1)
+    batches = _batches(cfg, 60)
+    rep = compare_trajectories(train_jax(cfg, variables, batches),
+                               train_torch(cfg, tm, batches))
+    assert rep["loss_rel_diff_first10"] < 1e-3, rep
+    assert rep["acc_abs_diff_max_pct"] < 1.0, rep
+    assert rep["loss_rel_diff_window"] < 0.01, rep

@@ -40,16 +40,88 @@ except ImportError:  # pragma: no cover - torch is baked into this image
 from cpc_tpu.config import CPCConfig
 
 
+class _TorchBlock(torch.nn.Module if torch else object):
+    """One pre-LN causal block mirroring models/transformer.py::_Block with
+    attn_impl='xla', dropout=0 (the parity configuration): flax-MHA
+    numerics (q/sqrt(Dh) scaling, finfo-min causal bias, same-dtype
+    softmax), flax LayerNorm eps=1e-6, flax nn.gelu's default TANH
+    approximation."""
+
+    def __init__(self, d: int, num_heads: int, mlp_ratio: int):
+        super().__init__()
+        if d % num_heads:
+            raise ValueError(f"d_ar {d} not divisible by heads {num_heads}")
+        self.ln_attn = torch.nn.LayerNorm(d, eps=1e-6)
+        self.attn_q = torch.nn.Linear(d, d)
+        self.attn_k = torch.nn.Linear(d, d)
+        self.attn_v = torch.nn.Linear(d, d)
+        self.attn_out = torch.nn.Linear(d, d)
+        self.ln_mlp = torch.nn.LayerNorm(d, eps=1e-6)
+        self.fc1 = torch.nn.Linear(d, d * mlp_ratio)
+        self.fc2 = torch.nn.Linear(d * mlp_ratio, d)
+        self._H = num_heads
+
+    def forward(self, x):
+        B, T, d = x.shape
+        H = self._H
+        dh = d // H
+        h = self.ln_attn(x)
+        q = self.attn_q(h).view(B, T, H, dh)
+        k = self.attn_k(h).view(B, T, H, dh)
+        v = self.attn_v(h).view(B, T, H, dh)
+        scores = torch.einsum("bqhd,bkhd->bhqk", q / (dh ** 0.5), k)
+        causal = torch.ones(T, T, dtype=torch.bool,
+                            device=x.device).tril()
+        scores = scores.masked_fill(~causal,
+                                    torch.finfo(scores.dtype).min)
+        w = torch.softmax(scores, dim=-1)
+        o = torch.einsum("bhqk,bkhd->bqhd", w, v).reshape(B, T, d)
+        x = x + self.attn_out(o)
+        h = self.ln_mlp(x)
+        h = self.fc2(torch.nn.functional.gelu(self.fc1(h),
+                                              approximate="tanh"))
+        return x + h
+
+
+class _TorchTransformerGar(torch.nn.Module if torch else object):
+    """models/transformer.py::CausalTransformer in torch: in_proj + learned
+    positional table + pre-LN blocks + final LayerNorm. Attribute names
+    match interop._export_transformer_gar's canonical keys, so
+    load_state_dict takes the exported dict without renames."""
+
+    def __init__(self, d_enc: int, ar) -> None:
+        super().__init__()
+        self.in_proj = torch.nn.Linear(d_enc, ar.d_ar)
+        self.pos_embed = torch.nn.Parameter(
+            torch.zeros(ar.max_len, ar.d_ar))
+        self.blocks = torch.nn.ModuleList(
+            [_TorchBlock(ar.d_ar, ar.num_heads, ar.mlp_ratio)
+             for _ in range(ar.num_layers)])
+        self.final_norm = torch.nn.LayerNorm(ar.d_ar, eps=1e-6)
+
+    def forward(self, z):  # (B, T, d_enc) -> (B, T, d_ar)
+        T = z.shape[1]
+        x = self.in_proj(z) + self.pos_embed[:T][None]
+        for blk in self.blocks:
+            x = blk(x)
+        return self.final_norm(x)
+
+
 class TorchCPC(torch.nn.Module if torch else object):
-    """The reference architecture, built from a CPCConfig (conv1d+GRU
-    family only — the same scope as cpc_tpu.interop)."""
+    """The reference architecture, built from a CPCConfig: conv1d encoder
+    plus a GRU gar (the baseline) or the causal-transformer gar variant
+    (BASELINE.json:9) — the same two families cpc_tpu.interop exports."""
 
     def __init__(self, cfg: CPCConfig):
         super().__init__()
         mc = cfg.model
-        if mc.encoder.kind != "conv1d" or mc.ar.kind != "gru":
-            raise ValueError("the torch oracle covers the reference "
-                             "architecture only (conv1d encoder + GRU gar)")
+        if mc.encoder.kind != "conv1d" or mc.ar.kind not in (
+                "gru", "transformer"):
+            raise ValueError("the torch oracle covers conv1d encoders with "
+                             "a GRU or transformer gar only")
+        if mc.ar.kind == "transformer" and mc.ar.dropout:
+            raise ValueError("parity runs are deterministic: set "
+                             "ar.dropout=0 for the torch oracle")
         if mc.encoder.padding != "VALID":
             raise ValueError(
                 "torch Conv1d's native padding is VALID; run parity with "
@@ -67,9 +139,12 @@ class TorchCPC(torch.nn.Module if torch else object):
             c_in = ch
         self.convs = torch.nn.ModuleList(convs)
         self.norms = torch.nn.ModuleList(norms) if norms else None
-        self.gar = torch.nn.GRU(mc.encoder.d_enc, mc.ar.d_ar,
-                                num_layers=mc.ar.num_layers,
-                                batch_first=True)
+        if mc.ar.kind == "transformer":
+            self.gar = _TorchTransformerGar(mc.encoder.d_enc, mc.ar)
+        else:
+            self.gar = torch.nn.GRU(mc.encoder.d_enc, mc.ar.d_ar,
+                                    num_layers=mc.ar.num_layers,
+                                    batch_first=True)
         self.heads = torch.nn.Linear(
             mc.ar.d_ar, mc.loss.prediction_steps * mc.encoder.d_enc,
             bias=False)
@@ -84,7 +159,10 @@ class TorchCPC(torch.nn.Module if torch else object):
                 h = self.norms[i](h)
             h = torch.relu(h)
         z = h.transpose(1, 2)  # (B, T, d_enc)
-        c, _ = self.gar(z)
+        if isinstance(self.gar, torch.nn.GRU):
+            c, _ = self.gar(z)
+        else:
+            c = self.gar(z)
         B, T, _ = c.shape
         preds = self.heads(c).reshape(B, T, self._K, self._d_enc)
         return z, c, preds
@@ -214,10 +292,10 @@ def train_torch(cfg: CPCConfig, model: "TorchCPC",
     params (matching cpc_tpu's train_step, whose value_and_grad reports the
     entering params' loss)."""
     t = cfg.train
-    if t.lr_schedule != "constant" or t.warmup_steps or t.weight_decay \
-            or t.grad_clip_norm or t.accum_steps != 1:
-        raise ValueError("the torch oracle mirrors the plain baseline "
-                         "optimizer (constant lr Adam) only")
+    if t.lr_schedule != "constant" or t.weight_decay or t.accum_steps != 1:
+        raise ValueError("the torch oracle mirrors the constant-lr Adam "
+                         "recipe (optionally with warmup + grad clipping — "
+                         "the transformer presets' baked-in recipe) only")
     opt = torch.optim.Adam(model.parameters(), lr=t.learning_rate,
                            betas=(t.beta1, t.beta2), eps=1e-8)
     rows = []
@@ -229,6 +307,18 @@ def train_torch(cfg: CPCConfig, model: "TorchCPC",
                                   negatives=cfg.model.loss.negatives)
         opt.zero_grad(set_to_none=True)
         loss.backward()
+        if t.grad_clip_norm:
+            # optax.clip_by_global_norm: scale by max_norm/g_norm when
+            # g_norm exceeds the bound (torch's 1e-6 denominator eps is the
+            # only difference — sub-1e-6 relative)
+            torch.nn.utils.clip_grad_norm_(model.parameters(),
+                                           t.grad_clip_norm)
+        if t.warmup_steps:
+            # optax.linear_schedule(0, lr, warmup) evaluated at the update
+            # COUNT (0-based): update k applies lr * min(1, k/warmup)
+            scale = min(1.0, step / t.warmup_steps)
+            for group in opt.param_groups:
+                group["lr"] = t.learning_rate * scale
         opt.step()
         rows.append({"step": step, "loss": float(loss.detach()),
                      "acc": acc.astype(np.float64).tolist()})

@@ -80,9 +80,20 @@ def profile_config(name: str, snippet: int, batch: int) -> dict:
     out = {"config": name, "snippet": snippet, "batch": batch}
     audio_sec = batch * snippet / cfg.data.sample_rate
 
-    # full train step (augment on, like the studies)
-    t_step = timeit(lambda p, o, b, r: steps.train_step(p, o, b, r),
-                    (params, opt_state, dbatch, key), ms_guess=300)
+    # full train step (augment on, like the studies). The step donates
+    # params/opt_state, so the timing loop must THREAD the state instead of
+    # reusing the original (donated) buffers.
+    p_, o_, m_ = params, opt_state, None
+    for _ in range(3):
+        p_, o_, m_ = steps.train_step(p_, o_, dbatch, key)
+    float(np.asarray(m_["loss"]))
+    iters = max(10, min(300, int(6000 / 300)))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        p_, o_, m_ = steps.train_step(p_, o_, dbatch, key)
+    float(np.asarray(m_["loss"]))
+    t_step = (time.perf_counter() - t0) / iters * 1000
+    params, opt_state = p_, o_  # donated originals are gone
     out["train_step_ms"] = round(t_step, 2)
     out["audio_sec_per_sec"] = round(audio_sec / (t_step / 1000), 1)
 
@@ -137,10 +148,68 @@ def profile_config(name: str, snippet: int, batch: int) -> dict:
     return out
 
 
+def sweep(snippet: int, batch: int):
+    """A/B the kernel knobs (tile sizes, bf16 grad wire) on the isolated
+    loss block at the given study shape. Each trial re-jits under fresh
+    closures so the env knobs are re-read at trace time. Outputs are
+    reduced to scalars INSIDE the jit — fetching the (B, T, K, D) dpreds
+    through the axon tunnel would swamp the timing (the 1974 ms artifact
+    in the first baseline run)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cpc_tpu.ops.infonce import infonce_loss_and_metrics
+
+    rng = np.random.default_rng(0)
+    K, D = 12, 512
+    T = snippet // 160
+    preds = jax.device_put(jnp.asarray(
+        rng.standard_normal((batch, T, K, D)) * 0.1, jnp.bfloat16))
+    z = jax.device_put(jnp.asarray(
+        rng.standard_normal((batch, T, D)) * 0.1, jnp.bfloat16))
+
+    def trial(rt, ct, gb16):
+        os.environ["CPC_ALLSTEPS_RT"] = str(rt)
+        os.environ["CPC_ALLSTEPS_CT"] = str(ct)
+        os.environ["CPC_ALLSTEPS_GRAD_BF16"] = str(int(gb16))
+
+        def loss_only(p_, z_):
+            return infonce_loss_and_metrics(
+                p_, z_, negatives="all_steps", use_pallas=True,
+                pallas_bf16=True)[0]
+
+        def fb_scalar(p_, z_):
+            dp, dz = jax.grad(loss_only, argnums=(0, 1))(p_, z_)
+            return (jnp.sum(dp.astype(jnp.float32))
+                    + jnp.sum(dz.astype(jnp.float32)))
+
+        row = {"rt": rt, "ct": ct, "grad_bf16": gb16}
+        try:
+            row["fwd_ms"] = round(timeit(jax.jit(loss_only), (preds, z),
+                                         ms_guess=60), 2)
+            row["fwdbwd_ms"] = round(timeit(jax.jit(fb_scalar), (preds, z),
+                                            ms_guess=200), 2)
+        except Exception as e:  # compile envelope: record, keep sweeping
+            row["error"] = str(e)[:200]
+        print(json.dumps(row), flush=True)
+
+    base_gb = False
+    for rt, ct in ((256, 512), (512, 512), (512, 1024), (256, 1024),
+                   (1024, 512), (512, 2048), (1024, 1024)):
+        trial(rt, ct, base_gb)
+    trial(512, 1024, True)
+    trial(256, 512, True)
+    for v in ("CPC_ALLSTEPS_RT", "CPC_ALLSTEPS_CT",
+              "CPC_ALLSTEPS_GRAD_BF16"):
+        os.environ.pop(v, None)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="both",
                     choices=["run7", "run4", "both"])
+    ap.add_argument("--sweep", action="store_true",
+                    help="A/B tile/bf16 knobs on the isolated loss block")
     args = ap.parse_args()
     todo = {"run7": [("run7_2.56s", 40960, 64)],
             "run4": [("run4_5.12s", 81920, 64)],
@@ -148,6 +217,11 @@ def main():
                      ("run4_5.12s", 81920, 64)]}[args.config]
     import jax
     print(json.dumps({"backend": jax.default_backend()}), flush=True)
+    if args.sweep:
+        name, snippet, batch = todo[0]
+        print(json.dumps({"sweep_at": name}), flush=True)
+        sweep(snippet, batch)
+        return
     for name, snippet, batch in todo:
         profile_config(name, snippet, batch)
 

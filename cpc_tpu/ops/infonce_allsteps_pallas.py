@@ -98,7 +98,8 @@ def _fwd_kernel(shift_ref, p_ref, z_ref, nll_ref, cor_ref, lse_ref,
 
 
 def _dp_kernel(shift_ref, g_ref, lse_ref, p_ref, z_ref, dp_ref, acc,
-               *, RT: int, CT: int, B: int, K: int, T: int, N: int):
+               *, RT: int, CT: int, B: int, K: int, T: int, N: int,
+               grad_bf16: bool):
     ri = pl.program_id(0)
     ci = pl.program_id(1)
 
@@ -116,8 +117,17 @@ def _dp_kernel(shift_ref, g_ref, lse_ref, p_ref, z_ref, dp_ref, acc,
     labels = _row_meta(ri * RT, RT, B, K, T, shift_ref[0])
     delta = soft - (cols == labels[:, None]).astype(jnp.float32)
     delta = delta * g_ref[0, 0, :][:, None]
+    # bf16 wire -> the second matmul's operands both ride the MXU's 2x bf16
+    # issue rate (delta in [-1, 1] rounds at bf16's ~3 decimal digits; the
+    # fp32 parity configuration keeps the exact fp32 path). Accumulation is
+    # fp32 either way via preferred_element_type.
+    if grad_bf16:
+        delta = delta.astype(jnp.bfloat16)
+        z_op = z_ref[:, :]
+    else:
+        z_op = z_ref[:, :].astype(jnp.float32)
     acc[:, :] += jax.lax.dot_general(
-        delta, z_ref[:, :].astype(jnp.float32),
+        delta, z_op,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
@@ -127,7 +137,8 @@ def _dp_kernel(shift_ref, g_ref, lse_ref, p_ref, z_ref, dp_ref, acc,
 
 
 def _dz_kernel(shift_ref, g_ref, lse_ref, p_ref, z_ref, dz_ref, acc,
-               *, RT: int, CT: int, B: int, K: int, T: int, N: int):
+               *, RT: int, CT: int, B: int, K: int, T: int, N: int,
+               grad_bf16: bool):
     ci = pl.program_id(0)
     ri = pl.program_id(1)
 
@@ -145,8 +156,13 @@ def _dz_kernel(shift_ref, g_ref, lse_ref, p_ref, z_ref, dz_ref, acc,
     labels = _row_meta(ri * RT, RT, B, K, T, shift_ref[0])
     delta = soft - (cols == labels[:, None]).astype(jnp.float32)
     delta = delta * g_ref[0, 0, :][:, None]
+    if grad_bf16:
+        delta = delta.astype(jnp.bfloat16)
+        p_op = p_ref[:, :]
+    else:
+        p_op = p_ref[:, :].astype(jnp.float32)
     acc[:, :] += jax.lax.dot_general(  # (CT, RT) x (RT, D)
-        delta, p_ref[:, :].astype(jnp.float32),
+        delta, p_op,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
@@ -156,9 +172,20 @@ def _dz_kernel(shift_ref, g_ref, lse_ref, p_ref, z_ref, dz_ref, acc,
 
 
 def _tiles(R: int, N: int):
-    RT = 256 if R >= 256 else max(8, -(-R // 8) * 8)
-    CT = 512 if N >= 512 else max(128, -(-N // 128) * 128)
-    return RT, CT
+    """Row/col tile sizes. Measured r5 (docs/DESIGN.md "the all-steps perf
+    pass"): the r1-r4 (256, 512) tiles put ~23k programs on the grid at the
+    study shapes (R~187k, N=16k) and the ~2-3 us/program Mosaic cost plus
+    per-program z-tile streaming held the forward to ~69 TF/s (39% of the
+    chained-matmul roofline). (512, 1024) quarters the program count and
+    halves the z/p HBM re-streaming. Overridable for sweeps via
+    CPC_ALLSTEPS_RT / CPC_ALLSTEPS_CT (benchmarks/exp_allsteps.py --sweep).
+    """
+    import os
+    rt_env = int(os.environ.get("CPC_ALLSTEPS_RT", 0))
+    ct_env = int(os.environ.get("CPC_ALLSTEPS_CT", 0))
+    RT = rt_env or (512 if R >= 512 else max(8, -(-R // 8) * 8))
+    CT = ct_env or (1024 if N >= 1024 else max(128, -(-N // 128) * 128))
+    return min(RT, -(-R // 8) * 8), CT
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
@@ -181,6 +208,10 @@ def _fwd(p_flat, z_flat, shift, B, K, T, interpret):
     kern = functools.partial(_fwd_kernel, RT=RT, CT=CT, B=B, K=K, T=T, N=N)
     nll, cor, lse = pl.pallas_call(
         kern,
+        # rows are independent; the col sweep carries the online-softmax
+        # scratch state, so it must stay sequential ('arbitrary')
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -232,10 +263,19 @@ def _bwd_rule(B, K, T, interpret, res, cots):
         else z_flat
     g2 = g_nll.astype(jnp.float32).reshape(R_pad // RT, 1, RT)
     lse2 = lse.reshape(R_pad // RT, 1, RT)
-    common = dict(RT=RT, CT=CT, B=B, K=K, T=T, N=N)
+    # bf16 wire in -> bf16 second-matmul operands (the production
+    # pallas_bf16 path); fp32 in (the parity configuration) keeps the exact
+    # fp32 grads. CPC_ALLSTEPS_GRAD_BF16=0/1 overrides for A/B sweeps.
+    import os
+    gb_env = os.environ.get("CPC_ALLSTEPS_GRAD_BF16")
+    grad_bf16 = (p_flat.dtype == jnp.bfloat16 if gb_env is None
+                 else bool(int(gb_env)))
+    common = dict(RT=RT, CT=CT, B=B, K=K, T=T, N=N, grad_bf16=grad_bf16)
 
     dp = pl.pallas_call(
         functools.partial(_dp_kernel, **common),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(R_pad // RT, N_pad // CT),
@@ -259,6 +299,8 @@ def _bwd_rule(B, K, T, interpret, res, cots):
 
     dz = pl.pallas_call(
         functools.partial(_dz_kernel, **common),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(N_pad // CT, R_pad // RT),

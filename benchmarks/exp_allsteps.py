@@ -136,8 +136,16 @@ def profile_config(name: str, snippet: int, batch: int) -> dict:
 
     t_fwd = timeit(jax.jit(loss_only), (preds, z), ms_guess=80)
     out["loss_fwd_ms"] = round(t_fwd, 2)
-    t_fb = timeit(jax.jit(jax.grad(loss_only, argnums=(0, 1))), (preds, z),
-                  ms_guess=250)
+
+    # reduce the grads to a scalar INSIDE the jit: timeit fetches its first
+    # output leaf, and dpreds is (B, T, K, D) — fetching it through the
+    # axon tunnel would add hundreds of ms of pure transfer (the same
+    # artifact the sweep path fixed)
+    def fb_scalar(p_, z_):
+        dp, dz = jax.grad(loss_only, argnums=(0, 1))(p_, z_)
+        return (jnp.sum(dp.astype(jnp.float32))
+                + jnp.sum(dz.astype(jnp.float32)))
+    t_fb = timeit(jax.jit(fb_scalar), (preds, z), ms_guess=250)
     out["loss_fwdbwd_ms"] = round(t_fb, 2)
 
     # roofline context: score-pass FLOPs (fwd 1 pass, dP 2, dZ 2)

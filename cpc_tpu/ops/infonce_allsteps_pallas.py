@@ -172,19 +172,25 @@ def _dz_kernel(shift_ref, g_ref, lse_ref, p_ref, z_ref, dz_ref, acc,
 
 
 def _tiles(R: int, N: int):
-    """Row/col tile sizes. Measured r5 (docs/DESIGN.md "the all-steps perf
+    """Row/col tile sizes. Chip-swept r5 (docs/DESIGN.md "the all-steps perf
     pass"): the r1-r4 (256, 512) tiles put ~23k programs on the grid at the
-    study shapes (R~187k, N=16k) and the ~2-3 us/program Mosaic cost plus
-    per-program z-tile streaming held the forward to ~69 TF/s (39% of the
-    chained-matmul roofline). (512, 1024) quarters the program count and
-    halves the z/p HBM re-streaming. Overridable for sweeps via
-    CPC_ALLSTEPS_RT / CPC_ALLSTEPS_CT (benchmarks/exp_allsteps.py --sweep).
+    study shapes (R~187k-384k, N=16-32k) and the per-program Mosaic cost
+    plus per-program z-tile streaming held the forward to ~69 TF/s (39% of
+    the chained-matmul roofline). (512, 4096) — the largest tile Mosaic
+    compiles at D=512 (8 MB fp32 score block; (512, 8192) and (1024, 2048)
+    fail remote compile) — measured fwd 180.5->90.4 ms and fwd+bwd
+    514.9->361.8 ms at the 5.12 s study shape (1.42x; forward ~142 TF/s =
+    80% of roofline, and the 5-pass fwd+bwd totals ~178 TF/s — AT the
+    measured chained-matmul roofline, so further gains need fewer passes,
+    not better tiles). CT clamps to N's 128-padded size so small pools
+    don't sweep padding. Overridable for sweeps via CPC_ALLSTEPS_RT /
+    CPC_ALLSTEPS_CT (benchmarks/exp_allsteps.py --sweep).
     """
     import os
     rt_env = int(os.environ.get("CPC_ALLSTEPS_RT", 0))
     ct_env = int(os.environ.get("CPC_ALLSTEPS_CT", 0))
     RT = rt_env or (512 if R >= 512 else max(8, -(-R // 8) * 8))
-    CT = ct_env or (1024 if N >= 1024 else max(128, -(-N // 128) * 128))
+    CT = ct_env or min(4096, max(128, -(-N // 128) * 128))
     return min(RT, -(-R // 8) * 8), CT
 
 

@@ -169,3 +169,20 @@ def test_allsteps_route_through_flag():
     np.testing.assert_allclose(float(l2), float(l1), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(m2["acc"]), np.asarray(m1["acc"]),
                                atol=1e-7)
+
+
+def test_allsteps_tile_defaults(monkeypatch):
+    """The chip-swept (512, 4096) defaults (docs/DESIGN.md 'the all-steps
+    perf pass'): CT clamps to the pool's 128-padded size so small pools
+    don't sweep padding, and the env overrides still win."""
+    from cpc_tpu.ops.infonce_allsteps_pallas import _tiles
+    for var in ("CPC_ALLSTEPS_RT", "CPC_ALLSTEPS_CT"):
+        monkeypatch.delenv(var, raising=False)
+    assert _tiles(384000, 32768) == (512, 4096)   # 5.12 s study shape
+    assert _tiles(187392, 16384) == (512, 4096)   # 2.56 s study shape
+    assert _tiles(187392, 2048) == (512, 2048)    # pool < 4096: exact tile
+    assert _tiles(187392, 2000) == (512, 2048)    # ... padded to 128
+    assert _tiles(100, 300) == (104, 384)         # tiny: 8/128-rounded
+    monkeypatch.setenv("CPC_ALLSTEPS_RT", "256")
+    monkeypatch.setenv("CPC_ALLSTEPS_CT", "1024")
+    assert _tiles(384000, 32768) == (256, 1024)   # sweep overrides win

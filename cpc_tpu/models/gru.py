@@ -102,13 +102,16 @@ class _GRULayer(nn.Module):
             h0 = jnp.zeros((B, H), self.dtype)
 
         if self.use_pallas:
-            from cpc_tpu.ops.gru_pallas import MEASURED_B_ENVELOPE, gru_scan
-            if B > MEASURED_B_ENVELOPE:
+            from cpc_tpu.ops.gru_pallas import (MEASURED_B_ENVELOPE,
+                                                MEASURED_H_ENVELOPE,
+                                                gru_scan)
+            if B > MEASURED_B_ENVELOPE or H > MEASURED_H_ENVELOPE:
                 import warnings
                 warnings.warn(
-                    f"ar.use_pallas: batch {B} exceeds the GRU kernel's "
-                    f"measured compile envelope ({MEASURED_B_ENVELOPE} on "
-                    f"v5e); using the lax.scan recurrence (same math)",
+                    f"ar.use_pallas: (batch {B}, hidden {H}) exceeds the "
+                    f"GRU kernel's measured compile envelope "
+                    f"(B<={MEASURED_B_ENVELOPE}, H<={MEASURED_H_ENVELOPE} "
+                    f"on v5e); using the lax.scan recurrence (same math)",
                     stacklevel=2)
             else:
                 interpret = jax.default_backend() != "tpu"

@@ -36,6 +36,12 @@ from jax.experimental.pallas import tpu as pltpu
 # recurrence above this — large-batch configs build without manual flags,
 # matching the loss-path chooser's contract (SURVEY.md §8.4).
 MEASURED_B_ENVELOPE = 384
+# Same story on the WIDTH axis (r5, run-7 arm W): H=256 is the measured
+# production point; H=512 at B=64 fails TPU compile with a scoped-vmem
+# stack OOM (17.96M vs the 16M limit) inside the kernel's custom call.
+# models.gru falls back to lax.scan above this — the d_ar width lever
+# (probe_study --d-ar) must build without manual flags.
+MEASURED_H_ENVELOPE = 256
 
 
 def _gates(xp, hp, H: int):

@@ -125,3 +125,23 @@ def test_infonce_pallas_rows_envelope_fallback(monkeypatch):
         got, m = infonce_loss_and_metrics(preds, z, use_pallas=True)
     assert any("envelope" in str(w.message) for w in rec)
     np.testing.assert_allclose(float(got), float(ref), rtol=1e-6)
+
+
+def test_gru_pallas_width_envelope_fallback(monkeypatch):
+    """Hidden widths above the GRU kernel's measured compile envelope fall
+    back to lax.scan with a warning (r5, run-7 arm W: H=512 at B=64 fails
+    TPU compile with a scoped-vmem stack OOM) — same math, no flags."""
+    import cpc_tpu.ops.gru_pallas as gp
+    from cpc_tpu.models.gru import GRU
+    gru = GRU(hidden_size=8, use_pallas=True)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((3, 10, 4)),
+                    jnp.float32)
+    params = gru.init(jax.random.key(0), x)
+    ref = gru.apply(params, x)  # H=8 <= envelope: kernel path
+    monkeypatch.setattr(gp, "MEASURED_H_ENVELOPE", 4)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        out = gru.apply(params, x)  # H=8 > 4: scan path
+    assert any("envelope" in str(w.message) for w in rec)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)

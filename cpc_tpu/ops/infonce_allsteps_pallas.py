@@ -171,7 +171,7 @@ def _dz_kernel(shift_ref, g_ref, lse_ref, p_ref, z_ref, dz_ref, acc,
         dz_ref[0] = acc[:, :]
 
 
-def _tiles(R: int, N: int):
+def _tiles(R: int, N: int, D: int = 512):
     """Row/col tile sizes. Chip-swept r5 (docs/DESIGN.md "the all-steps perf
     pass"): the r1-r4 (256, 512) tiles put ~23k programs on the grid at the
     study shapes (R~187k-384k, N=16-32k) and the per-program Mosaic cost
@@ -183,14 +183,19 @@ def _tiles(R: int, N: int):
     80% of roofline, and the 5-pass fwd+bwd totals ~178 TF/s — AT the
     measured chained-matmul roofline, so further gains need fewer passes,
     not better tiles). CT clamps to N's 128-padded size so small pools
-    don't sweep padding. Overridable for sweeps via CPC_ALLSTEPS_RT /
-    CPC_ALLSTEPS_CT (benchmarks/exp_allsteps.py --sweep).
+    don't sweep padding, and the 4096 budget is D=512-measured: the
+    backward dZ accumulator is a (CT, D) fp32 VMEM block, so wider d_enc
+    scales the budget down proportionally (unmeasured widths get the
+    conservative scaling, not the measured point). Overridable for sweeps
+    via CPC_ALLSTEPS_RT / CPC_ALLSTEPS_CT (benchmarks/exp_allsteps.py
+    --sweep).
     """
     import os
     rt_env = int(os.environ.get("CPC_ALLSTEPS_RT", 0))
     ct_env = int(os.environ.get("CPC_ALLSTEPS_CT", 0))
     RT = rt_env or (512 if R >= 512 else max(8, -(-R // 8) * 8))
-    CT = ct_env or min(4096, max(128, -(-N // 128) * 128))
+    budget = max(512, 4096 * 512 // max(D, 512) // 128 * 128)
+    CT = ct_env or min(budget, max(128, -(-N // 128) * 128))
     return min(RT, -(-R // 8) * 8), CT
 
 
@@ -205,7 +210,7 @@ def allsteps_nll(p_flat, z_flat, shift, B, K, T, interpret=False):
 def _fwd(p_flat, z_flat, shift, B, K, T, interpret):
     R_pad, D = p_flat.shape
     N, _ = z_flat.shape
-    RT, CT = _tiles(R_pad, N)
+    RT, CT = _tiles(R_pad, N, D)
     assert R_pad % RT == 0
     N_pad = -(-N // CT) * CT
     if N_pad != N:
@@ -263,7 +268,7 @@ def _bwd_rule(B, K, T, interpret, res, cots):
     g_nll, _ = cots
     R_pad, D = p_flat.shape
     N, _ = z_flat.shape
-    RT, CT = _tiles(R_pad, N)
+    RT, CT = _tiles(R_pad, N, D)
     N_pad = -(-N // CT) * CT
     z_padded = jnp.pad(z_flat, ((0, N_pad - N), (0, 0))) if N_pad != N \
         else z_flat
@@ -348,7 +353,7 @@ def fused_infonce_allsteps(
     C, T, _ = z_pool.shape
     R = B * Tp * K
     p_flat = preds_v.transpose(1, 2, 0, 3).reshape(R, D)
-    RT, _ = _tiles(R, C * T)
+    RT, _ = _tiles(R, C * T, D)
     R_pad = -(-R // RT) * RT
     if R_pad != R:
         p_flat = jnp.pad(p_flat, ((0, R_pad - R), (0, 0)))

@@ -186,3 +186,14 @@ def test_allsteps_tile_defaults(monkeypatch):
     monkeypatch.setenv("CPC_ALLSTEPS_RT", "256")
     monkeypatch.setenv("CPC_ALLSTEPS_CT", "1024")
     assert _tiles(384000, 32768) == (256, 1024)   # sweep overrides win
+
+
+def test_allsteps_tile_width_scaling(monkeypatch):
+    """The CT budget is D=512-measured (dZ accumulator is (CT, D) fp32):
+    wider d_enc scales it down proportionally, narrower keeps the cap."""
+    from cpc_tpu.ops.infonce_allsteps_pallas import _tiles
+    for var in ("CPC_ALLSTEPS_RT", "CPC_ALLSTEPS_CT"):
+        monkeypatch.delenv(var, raising=False)
+    assert _tiles(384000, 32768, 1024) == (512, 2048)
+    assert _tiles(384000, 32768, 2048) == (512, 1024)
+    assert _tiles(384000, 32768, 256) == (512, 4096)  # capped, not scaled up

@@ -28,8 +28,11 @@ SERIES = [
                            (22000, 10.2, 0.6), (24000, 9.8, 0.8),
                            (28000, 14.1, 0.4), (30000, 13.5, 0.6),
                            (32000, 14.3, 1.3)]),
+    # 0-16k rows are the r3 run; 24k is the r5 fresh retrain (same corpus
+    # seed/config, tuned kernel — RESULTS.md "r5 completion")
     ("10.24 s", "#0d366b", [(0, 2.2, 1.3), (8000, 3.4, 0.7),
-                            (12000, 10.6, 0.8), (16000, 12.8, 0.9)]),
+                            (12000, 10.6, 0.8), (16000, 12.8, 0.9),
+                            (24000, 17.5, 1.4)]),
 ]
 # different FAMILY at a fixed context (run 6): categorical accent hue +
 # dashes, deliberately outside the blue context-length ramp

@@ -32,7 +32,8 @@ SERIES = [
     # seed/config, tuned kernel — RESULTS.md "r5 completion")
     ("10.24 s", "#0d366b", [(0, 2.2, 1.3), (8000, 3.4, 0.7),
                             (12000, 10.6, 0.8), (16000, 12.8, 0.9),
-                            (24000, 17.5, 1.4)]),
+                            (24000, 17.5, 1.4),
+                            (25800, 18.2, 2.2)]),
 ]
 # different FAMILY at a fixed context (run 6): categorical accent hue +
 # dashes, deliberately outside the blue context-length ramp

@@ -78,7 +78,7 @@ def main(out="docs/fig_context_scaling.svg"):
                 color=INK2)
 
     ax.set_xlim(-600, 36500)
-    ax.set_ylim(0, 16.5)
+    ax.set_ylim(0, 21)
     ax.set_xticks([0, 8000, 16000, 24000, 32000])
     ax.set_xticklabels(["0", "8k", "16k", "24k", "32k"])
     ax.set_xlabel("pretraining steps", fontsize=9, color=INK2)
